@@ -1,0 +1,67 @@
+"""Batched / data-parallel flow over frame pairs (component N6; SURVEY.md §2b P1).
+
+Driver config 2: batched HS over a video sequence. The batch axis is pure
+data parallelism — no cross-shard communication during the solve — realized
+as `vmap` inside jit, optionally laid out over the "batch" mesh axis with a
+`NamedSharding` so XLA runs each chip's sub-batch locally (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from opticalflowhs_tpu.config import HSConfig, PyramidConfig
+from opticalflowhs_tpu.pyramid import _pyramid_body
+from opticalflowhs_tpu.solver import Flow, precompute, sweeps
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _batched_solve_impl(i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig) -> Flow:
+    def single(a, b):
+        ex, ey, et, inv_den = precompute(a, b, cfg)
+        u = jnp.zeros_like(ex)
+        v = jnp.zeros_like(ex)
+        return sweeps(u, v, ex, ey, et, inv_den, cfg.iters, cfg)
+
+    return jax.vmap(single)(i1, i2)
+
+
+@partial(jax.jit, static_argnames=("cfg", "pyr"))
+def _batched_pyramid_impl(i1, i2, cfg: HSConfig, pyr: PyramidConfig) -> Flow:
+    return jax.vmap(lambda a, b: _pyramid_body(a, b, cfg, pyr))(i1, i2)
+
+
+def hs_solve_batched(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    cfg: HSConfig = HSConfig(),
+    pyr: Optional[PyramidConfig] = None,
+    mesh: Optional[Mesh] = None,
+) -> Flow:
+    """Solve flow for a (B, H, W) stack of frame pairs.
+
+    With `mesh`, inputs are sharded P("batch", None, None) across its "batch"
+    axis before the jitted solve — XLA then executes each shard's vmap lanes
+    with zero collectives (SURVEY.md §2b P1).
+    """
+    if i1.ndim != 3:
+        raise ValueError(f"expected (B, H, W) frame stacks, got {i1.shape}")
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("batch", None, None))
+        i1 = jax.device_put(i1, sharding)
+        i2 = jax.device_put(i2, sharding)
+    if pyr is not None and pyr.levels > 1:
+        return _batched_pyramid_impl(i1, i2, cfg, pyr)
+    return _batched_solve_impl(i1, i2, cfg)
+
+
+def video_pairs(frames: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(T, H, W) video -> ((T-1, H, W), (T-1, H, W)) consecutive frame pairs."""
+    if frames.ndim != 3:
+        raise ValueError(f"expected (T, H, W) video, got {frames.shape}")
+    return frames[:-1], frames[1:]

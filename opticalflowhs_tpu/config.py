@@ -1,0 +1,155 @@
+"""Config system (SURVEY.md §5.6, component N13).
+
+Frozen, hashable dataclasses so they can be passed as `static_argnums` to
+`jax.jit` and cache compilations correctly. The reference app used positional
+argv (image paths, alpha, iterations — SURVEY.md §2a R9); here every knob is a
+named field with JSON-file and dotted-CLI overrides, and the five driver
+configs ship as named presets under configs/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Any, Tuple
+
+# Derivative estimator variants (SURVEY.md §2.5 eq. D and its note):
+#  - "hs_cube": Horn-Schunck 1981 §7 — forward differences averaged over the
+#    2x2x2 spatiotemporal cube. The default, per the behavioral contract.
+#  - "central": central spatial differences + Et = I2 - I1. The most common
+#    later variant; kept behind this flag as the designed-in escape hatch in
+#    case the reference's flow fields ever become diffable.
+DERIV_VARIANTS = ("hs_cube", "central")
+
+BACKENDS = ("auto", "jnp", "pallas")
+
+
+@dataclass(frozen=True)
+class HSConfig:
+    """Core Horn-Schunck solver configuration (SURVEY.md §2.5)."""
+
+    alpha: float = 1.0          # regularization weight; den = alpha^2 + Ex^2 + Ey^2
+    iters: int = 100            # fixed Jacobi iteration count
+    dtype: str = "float32"      # compute dtype for the sweep loop
+    deriv_variant: str = "hs_cube"
+    backend: str = "auto"       # auto -> pallas on TPU, jnp elsewhere
+    block_sweeps: int = 1       # temporal blocking: sweeps per HBM round-trip
+    checkpoint_every: int = 0   # 0 = never; else chunk fori_loop every K sweeps
+
+    def __post_init__(self):
+        if self.deriv_variant not in DERIV_VARIANTS:
+            raise ValueError(f"deriv_variant must be one of {DERIV_VARIANTS}")
+        if self.backend not in BACKENDS:
+            raise ValueError(f"backend must be one of {BACKENDS}")
+        if self.iters < 0:
+            raise ValueError("iters must be >= 0")
+        if self.block_sweeps < 1:
+            raise ValueError("block_sweeps must be >= 1")
+
+
+@dataclass(frozen=True)
+class PyramidConfig:
+    """Coarse-to-fine pyramid configuration (SURVEY.md §2.5 PYR)."""
+
+    levels: int = 3             # 1 = single-level (no pyramid)
+    # 5-tap binomial blur [1,4,6,4,1]/16, applied separably before 2x subsample
+    blur: str = "binomial5"
+    iters_per_level: Tuple[int, ...] = ()  # empty -> HSConfig.iters at every level
+
+    def __post_init__(self):
+        if self.levels < 1:
+            raise ValueError("levels must be >= 1")
+        if self.iters_per_level and len(self.iters_per_level) != self.levels:
+            raise ValueError("iters_per_level must match levels")
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh configuration for the distributed tiled solver (SURVEY.md §2b)."""
+
+    batch: int = 1              # data-parallel axis size (frame pairs)
+    y: int = 1                  # spatial tiling rows of chips
+    x: int = 1                  # spatial tiling cols of chips
+    halo_sweeps: int = 1        # exchange an s-px halo every s sweeps (blockwise)
+
+    @property
+    def axis_names(self) -> Tuple[str, ...]:
+        return ("batch", "y", "x")
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return (self.batch, self.y, self.x)
+
+    def __post_init__(self):
+        if min(self.batch, self.y, self.x) < 1:
+            raise ValueError("mesh axis sizes must be >= 1")
+        if self.halo_sweeps < 1:
+            raise ValueError("halo_sweeps must be >= 1")
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Top-level bundle: everything a CLI/bench invocation needs."""
+
+    hs: HSConfig = HSConfig()
+    pyramid: PyramidConfig = PyramidConfig(levels=1)
+    mesh: MeshConfig = MeshConfig()
+
+
+_SECTIONS = {"hs": HSConfig, "pyramid": PyramidConfig, "mesh": MeshConfig}
+
+
+def _coerce(cls: type, field_name: str, value: Any) -> Any:
+    ftypes = {f.name: f.type for f in dataclasses.fields(cls)}
+    if field_name not in ftypes:
+        raise KeyError(f"{cls.__name__} has no field '{field_name}'")
+    current = getattr(cls(), field_name) if cls is not RunConfig else None
+    ftype = ftypes[field_name]
+    if isinstance(value, str):
+        if ftype in ("int", int):
+            return int(value)
+        if ftype in ("float", float):
+            return float(value)
+        if "Tuple" in str(ftype) or isinstance(current, tuple):
+            if value.strip() == "":
+                return ()
+            return tuple(int(v) for v in value.split(","))
+    return value
+
+
+def load_config(path: str | None = None, overrides: dict[str, Any] | None = None) -> RunConfig:
+    """Build a RunConfig from an optional JSON file plus dotted overrides.
+
+    JSON layout mirrors the dataclass nesting:
+        {"hs": {"alpha": 1.0, "iters": 100}, "pyramid": {"levels": 3}}
+    Overrides use dotted keys: {"hs.alpha": 0.5, "mesh.y": 2}.
+    """
+    data: dict[str, dict[str, Any]] = {k: {} for k in _SECTIONS}
+    if path is not None:
+        with open(path) as f:
+            loaded = json.load(f)
+        for sect, vals in loaded.items():
+            if sect not in _SECTIONS:
+                raise KeyError(f"unknown config section '{sect}'")
+            data[sect].update(vals)
+    for key, value in (overrides or {}).items():
+        if "." not in key:
+            raise KeyError(f"override '{key}' must be dotted, e.g. hs.alpha")
+        sect, field_name = key.split(".", 1)
+        if sect not in _SECTIONS:
+            raise KeyError(f"unknown config section '{sect}'")
+        data[sect][field_name] = _coerce(_SECTIONS[sect], field_name, value)
+    return RunConfig(
+        hs=HSConfig(**data["hs"]),
+        pyramid=PyramidConfig(**data["pyramid"]),
+        mesh=MeshConfig(**data["mesh"]),
+    )
+
+
+def config_hash(cfg: RunConfig) -> str:
+    """Stable short hash of a config, used to tag checkpoints (SURVEY.md §5.4)."""
+    import hashlib
+
+    blob = json.dumps(dataclasses.asdict(cfg), sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]

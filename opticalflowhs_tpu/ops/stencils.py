@@ -1,0 +1,99 @@
+"""Pure-jnp Horn-Schunck stencil ops (component N2, SURVEY.md §2d — layer T1).
+
+Reference semantics (SURVEY.md §2.5), expressed as shift-add compositions that
+XLA fuses into a handful of elementwise kernels. These are the CPU-runnable
+equivalents of the reference's OpenCL kernels R1-R3 (SURVEY.md §2a) and the
+correctness twins of the Pallas kernels in opticalflowhs_tpu/kernels/.
+
+All shifts use replicate (clamp) boundary handling, implemented as
+slice+concatenate rather than `jnp.pad` so XLA keeps everything in one fusion.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# -- replicate-clamped shifts over the last two axes (supports leading batch) --
+
+
+def shift_up_row(a: jnp.ndarray) -> jnp.ndarray:
+    """a(i+1, j), clamped at the last row."""
+    return jnp.concatenate([a[..., 1:, :], a[..., -1:, :]], axis=-2)
+
+
+def shift_down_row(a: jnp.ndarray) -> jnp.ndarray:
+    """a(i-1, j), clamped at the first row."""
+    return jnp.concatenate([a[..., :1, :], a[..., :-1, :]], axis=-2)
+
+
+def shift_left_col(a: jnp.ndarray) -> jnp.ndarray:
+    """a(i, j+1), clamped at the last column."""
+    return jnp.concatenate([a[..., :, 1:], a[..., :, -1:]], axis=-1)
+
+
+def shift_right_col(a: jnp.ndarray) -> jnp.ndarray:
+    """a(i, j-1), clamped at the first column."""
+    return jnp.concatenate([a[..., :, :1], a[..., :, :-1]], axis=-1)
+
+
+def derivatives(
+    i1: jnp.ndarray, i2: jnp.ndarray, variant: str = "hs_cube"
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Spatiotemporal derivatives Ex, Ey, Et (SURVEY.md §2.5 eq. D).
+
+    hs_cube: forward differences averaged over the 2x2x2 spatiotemporal cube
+    (HS81 §7); central: central differences + Et = I2 - I1.
+    """
+    if variant == "hs_cube":
+        ex = jnp.zeros_like(i1)
+        ey = jnp.zeros_like(i1)
+        for f in (i1, i2):
+            fr = shift_up_row(f)
+            fc = shift_left_col(f)
+            frc = shift_left_col(fr)
+            ex = ex + (fc - f) + (frc - fr)
+            ey = ey + (fr - f) + (frc - fc)
+        ex = ex * 0.25
+        ey = ey * 0.25
+        d = i2 - i1
+        et = 0.25 * (d + shift_up_row(d) + shift_left_col(d) + shift_left_col(shift_up_row(d)))
+        return ex, ey, et
+    elif variant == "central":
+        ex = 0.5 * (shift_left_col(i1) - shift_right_col(i1))
+        ey = 0.5 * (shift_up_row(i1) - shift_down_row(i1))
+        et = i2 - i1
+        return ex, ey, et
+    raise ValueError(f"unknown derivative variant {variant!r}")
+
+
+def neighbor_avg(u: jnp.ndarray) -> jnp.ndarray:
+    """8-neighbor 1/6-1/12 weighted average, replicate edges (SURVEY.md §2.5 eq. A)."""
+    up = shift_down_row(u)
+    down = shift_up_row(u)
+    left = shift_right_col(u)
+    right = shift_left_col(u)
+    sixth = (up + down + left + right) * (1.0 / 6.0)
+    twelfth = (
+        shift_right_col(up) + shift_left_col(up) + shift_right_col(down) + shift_left_col(down)
+    ) * (1.0 / 12.0)
+    return sixth + twelfth
+
+
+def jacobi_step(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    et: jnp.ndarray,
+    inv_den: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused Jacobi sweep: average + update (SURVEY.md §2.5 eq. U).
+
+    `inv_den = 1 / (alpha^2 + Ex^2 + Ey^2)` is loop-invariant and precomputed
+    once by the solver (SURVEY.md §3.2) so the sweep reads 6 arrays and writes
+    2 — the quantity the HBM roofline in SURVEY.md §6 is computed from.
+    """
+    ubar = neighbor_avg(u)
+    vbar = neighbor_avg(v)
+    frac = (ex * ubar + ey * vbar + et) * inv_den
+    return ubar - ex * frac, vbar - ey * frac

@@ -1,0 +1,170 @@
+"""Coarse-to-fine pyramid + bilinear warping (component N4; reference R6).
+
+SURVEY.md §2.5 (PYR): downsample by a separable 5-tap binomial blur
+[1,4,6,4,1]/16 then 2x subsample; from coarsest to finest — solve HS, upsample
+flow bilinearly to the next level's size scaling values by the resolution
+ratio, backward-warp frame 2 by the current flow (I2w(x,y) = I2(x+u, y+v),
+clamped), solve HS on (I1, I2w) for the residual, add.
+
+TPU notes (SURVEY.md §7 hard parts): the warp is a dense 2-D gather — TPUs
+have no texture unit, so it is expressed as an XLA gather on flattened
+indices. It runs once per pyramid level (never inside the sweep loop), so
+gather cost is negligible against the Jacobi sweeps.
+
+The whole pyramid is one jit region: the Python level loop unrolls into the
+XLA graph (static shapes per level — SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from opticalflowhs_tpu.config import HSConfig, PyramidConfig
+from opticalflowhs_tpu.ops.stencils import (
+    shift_down_row,
+    shift_left_col,
+    shift_right_col,
+    shift_up_row,
+)
+from opticalflowhs_tpu.solver import Flow, precompute, sweeps
+
+# -- 5-tap binomial blur, separable, replicate boundaries --------------------
+
+_B5 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+
+def _blur_binomial5(img: jnp.ndarray) -> jnp.ndarray:
+    """[1,4,6,4,1]/16 separable blur with replicate edges, as shift-adds
+    (fuses into one elementwise kernel; no conv dispatch needed for 5 taps)."""
+    r1 = shift_down_row(img)        # i-1
+    r2 = shift_down_row(r1)         # i-2
+    r3 = shift_up_row(img)          # i+1
+    r4 = shift_up_row(r3)           # i+2
+    v = _B5[2] * img + _B5[1] * (r1 + r3) + _B5[0] * (r2 + r4)
+    c1 = shift_right_col(v)
+    c2 = shift_right_col(c1)
+    c3 = shift_left_col(v)
+    c4 = shift_left_col(c3)
+    return _B5[2] * v + _B5[1] * (c1 + c3) + _B5[0] * (c2 + c4)
+
+
+def downsample2x(img: jnp.ndarray) -> jnp.ndarray:
+    """Blur + 2x subsample. Output spatial size is ceil(size / 2)."""
+    return _blur_binomial5(img)[..., ::2, ::2]
+
+
+def gaussian_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
+    """[finest, ..., coarsest] — levels entries; level 0 is the input."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(downsample2x(pyr[-1]))
+    return pyr
+
+
+# -- flow upsampling and backward warp ----------------------------------------
+
+
+def upsample_flow(flow: Flow, shape: tuple[int, int]) -> Flow:
+    """Bilinearly resize flow to `shape`, scaling values by the size ratio
+    per axis (SURVEY.md §2.5 PYR: upsample x2 and multiply values x2)."""
+    h0, w0 = flow.u.shape[-2:]
+    h1, w1 = shape
+    u = jax.image.resize(flow.u, flow.u.shape[:-2] + (h1, w1), method="linear")
+    v = jax.image.resize(flow.v, flow.v.shape[:-2] + (h1, w1), method="linear")
+    return Flow(u * (w1 / w0), v * (h1 / h0))
+
+
+def warp_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Backward warp: out(y, x) = img(y + v(y,x), x + u(y,x)), bilinear,
+    sample positions clamped to the image (SURVEY.md §2.5 PYR)."""
+    h, w = img.shape[-2:]
+    dtype = img.dtype
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sy = jnp.clip(yy + v.astype(jnp.float32), 0.0, h - 1.0)
+    sx = jnp.clip(xx + u.astype(jnp.float32), 0.0, w - 1.0)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = sy - y0
+    wx = sx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+
+    flat = img.reshape(img.shape[:-2] + (h * w,))
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).reshape(-1)
+        return jnp.take(flat, idx, axis=-1).reshape(img.shape[:-2] + (h, w))
+
+    p00 = gather(y0i, x0i)
+    p01 = gather(y0i, x1i)
+    p10 = gather(y1i, x0i)
+    p11 = gather(y1i, x1i)
+    wy = wy.astype(dtype)
+    wx = wx.astype(dtype)
+    top = p00 * (1 - wx) + p01 * wx
+    bot = p10 * (1 - wx) + p11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+# -- coarse-to-fine driver -----------------------------------------------------
+
+
+def _pyramid_body(
+    i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig, pyr: PyramidConfig
+) -> Flow:
+    dtype = jnp.dtype(cfg.dtype)
+    p1 = gaussian_pyramid(i1.astype(dtype), pyr.levels)
+    p2 = gaussian_pyramid(i2.astype(dtype), pyr.levels)
+    iters: Sequence[int] = pyr.iters_per_level or (cfg.iters,) * pyr.levels
+
+    flow: Optional[Flow] = None
+    for level in range(pyr.levels - 1, -1, -1):
+        f1, f2 = p1[level], p2[level]
+        if flow is None:
+            f2w = f2
+            u = jnp.zeros_like(f1)
+            v = jnp.zeros_like(f1)
+        else:
+            flow = upsample_flow(flow, f1.shape[-2:])
+            f2w = warp_bilinear(f2, flow.u, flow.v)
+            u = jnp.zeros_like(f1)
+            v = jnp.zeros_like(f1)
+        ex, ey, et, inv_den = precompute(f1, f2w, cfg)
+        dflow = sweeps(u, v, ex, ey, et, inv_den, iters[level], cfg)
+        if flow is None:
+            flow = dflow
+        else:
+            flow = Flow(flow.u + dflow.u, flow.v + dflow.v)
+    return flow
+
+
+@partial(jax.jit, static_argnames=("cfg", "pyr"))
+def _hs_pyramid_impl(i1, i2, cfg: HSConfig, pyr: PyramidConfig) -> Flow:
+    return _pyramid_body(i1, i2, cfg, pyr)
+
+
+def hs_pyramid(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    cfg: HSConfig = HSConfig(),
+    pyr: PyramidConfig = PyramidConfig(),
+) -> Flow:
+    """Coarse-to-fine pyramidal Horn-Schunck (driver config 3; reference R6).
+
+    With pyr.levels == 1 this is exactly hs_solve.
+    """
+    if i1.shape != i2.shape:
+        raise ValueError(f"frame shapes differ: {i1.shape} vs {i2.shape}")
+    min_side = min(i1.shape[-2:])
+    if min_side // (2 ** (pyr.levels - 1)) < 8:
+        raise ValueError(
+            f"{pyr.levels} levels would shrink a {i1.shape[-2:]} frame below 8 px"
+        )
+    return _hs_pyramid_impl(i1, i2, cfg, pyr)

@@ -1,0 +1,120 @@
+"""Horn-Schunck solver core (component N3, SURVEY.md §2d — layer T2).
+
+The TPU-idiomatic replacement for the reference's host-driven hot loop
+(SURVEY.md §3.1): instead of n x (enqueue average kernel, enqueue update
+kernel, swap ping-pong buffers) with per-launch overhead, the whole solve is
+one `jax.jit` region — derivatives once, loop-invariant `inv_den` hoisted,
+then a `lax.fori_loop` of fused Jacobi sweeps that never leaves the device
+(SURVEY.md §3.2).
+
+Backends:
+  - "jnp":    pure-jnp sweeps (ops/stencils.py) — runs everywhere, and is the
+              oracle twin for the Pallas path.
+  - "pallas": fused Mosaic/TPU stencil kernels (kernels/jacobi.py).
+  - "auto":   pallas on TPU, jnp otherwise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from opticalflowhs_tpu.config import HSConfig
+from opticalflowhs_tpu.ops import stencils
+
+
+class Flow(NamedTuple):
+    """Dense flow field. u = horizontal (x / column) motion, v = vertical."""
+
+    u: jnp.ndarray
+    v: jnp.ndarray
+
+
+def resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    return backend
+
+
+def precompute(i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig):
+    """Derivatives + hoisted 1/(alpha^2 + Ex^2 + Ey^2) (SURVEY.md §3.2)."""
+    dtype = jnp.dtype(cfg.dtype)
+    i1 = i1.astype(dtype)
+    i2 = i2.astype(dtype)
+    ex, ey, et = stencils.derivatives(i1, i2, cfg.deriv_variant)
+    inv_den = 1.0 / (cfg.alpha * cfg.alpha + ex * ex + ey * ey)
+    return ex, ey, et, inv_den
+
+
+def sweeps(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    et: jnp.ndarray,
+    inv_den: jnp.ndarray,
+    n: int,
+    cfg: HSConfig,
+) -> Flow:
+    """Run `n` Jacobi sweeps on-device. `n` and `cfg` are trace-static."""
+    backend = resolve_backend(cfg.backend)
+    if n == 0:
+        return Flow(u, v)
+    if backend == "pallas":
+        from opticalflowhs_tpu.kernels import jacobi as jacobi_kernels
+
+        u, v = jacobi_kernels.jacobi_sweeps(
+            u, v, ex, ey, et, inv_den, n, block_sweeps=cfg.block_sweeps
+        )
+        return Flow(u, v)
+
+    def body(_, uv):
+        return stencils.jacobi_step(uv[0], uv[1], ex, ey, et, inv_den)
+
+    u, v = lax.fori_loop(0, n, body, (u, v))
+    return Flow(u, v)
+
+
+@partial(jax.jit, static_argnames=("cfg", "with_init"))
+def _hs_solve_impl(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    u0: Optional[jnp.ndarray],
+    v0: Optional[jnp.ndarray],
+    cfg: HSConfig,
+    with_init: bool,
+) -> Flow:
+    ex, ey, et, inv_den = precompute(i1, i2, cfg)
+    if with_init:
+        u = u0.astype(ex.dtype)
+        v = v0.astype(ex.dtype)
+    else:
+        u = jnp.zeros_like(ex)
+        v = jnp.zeros_like(ex)
+    return sweeps(u, v, ex, ey, et, inv_den, cfg.iters, cfg)
+
+
+def hs_solve(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    cfg: HSConfig = HSConfig(),
+    init: Optional[Flow] = None,
+) -> Flow:
+    """Solve Horn-Schunck optical flow for the frame pair (i1, i2).
+
+    Parity: reference R5 solver loop + R1-R3 kernels (SURVEY.md §2a, §3.1),
+    with the behavioral contract of SURVEY.md §2.5. `init` warm-starts u/v
+    (used by the pyramid and by checkpoint resume); default zeros (HS81).
+    """
+    if i1.shape != i2.shape:
+        raise ValueError(f"frame shapes differ: {i1.shape} vs {i2.shape}")
+    if i1.ndim != 2:
+        raise ValueError("hs_solve takes single 2-D grayscale frames; use "
+                         "batch.hs_solve_batched for leading batch axes")
+    if init is None:
+        return _hs_solve_impl(i1, i2, None, None, cfg, False)
+    return _hs_solve_impl(i1, i2, init.u, init.v, cfg, True)

@@ -1,0 +1,64 @@
+"""Test-suite environment setup (SURVEY.md §4).
+
+The suite runs on the CPU backend with 8 virtual devices — the standard JAX
+fake-backend trick — so distributed tests can build real 1x8 / 2x4 / 8x1
+meshes without a pod. Set HSFLOW_TEST_TPU=1 to run on real TPU hardware
+instead (tests marked `tpu` only run there).
+
+This must execute before anything imports jax, which pytest guarantees for a
+rootdir conftest.
+"""
+
+import os
+
+ON_TPU = os.environ.get("HSFLOW_TEST_TPU", "0") == "1"
+
+if not ON_TPU:
+    # The launch environment both pre-sets JAX_PLATFORMS (TPU tunnel) and
+    # pre-imports jax at interpreter startup, so plain env vars are too late.
+    # Backend initialization is still lazy, so setting XLA_FLAGS plus the
+    # jax_platforms config before the first device query does work.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax  # noqa: E402
+
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from opticalflowhs_tpu.data.synthetic import synthetic_pair, WarpSpec  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if ON_TPU:
+        return
+    skip_tpu = pytest.mark.skip(reason="requires real TPU (set HSFLOW_TEST_TPU=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip_tpu)
+
+
+@pytest.fixture(scope="session")
+def n_devices() -> int:
+    return jax.device_count()
+
+
+@pytest.fixture(scope="session")
+def small_translation_pair():
+    """64x80 texture translated by (1, 0.5) px with analytic GT."""
+    return synthetic_pair(64, 80, WarpSpec.translation(1.0, 0.5), key=7)
+
+
+@pytest.fixture(scope="session")
+def tiny_images():
+    """Deterministic 8x8 float images for exact stencil-arithmetic checks."""
+    rng = np.random.default_rng(0)
+    i1 = rng.uniform(0.0, 1.0, (8, 8)).astype(np.float32)
+    i2 = rng.uniform(0.0, 1.0, (8, 8)).astype(np.float32)
+    return i1, i2
