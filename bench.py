@@ -1,0 +1,68 @@
+"""Driver benchmark: Jacobi sweep throughput on one chip.
+
+Prints ONE JSON line. Headline metric: fused-sweep throughput in Gpx*sweeps/s
+per chip on a 1024x1280 frame, 100 iterations (the BASELINE.md "Jacobi sweep
+throughput" row). vs_baseline is the fraction of the fp32 HBM-roofline
+speed-of-light target (~29 Gpx/s on TPU v5e, SURVEY.md §6) — the reference
+publishes no numbers of its own (BASELINE.json "published": {}).
+
+Axon-platform quirk: the first execution must be synced with a host readback
+(block_until_ready alone does not force the deferred remote compile); timing
+loops only after that.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflowhs_tpu.config import HSConfig
+    from opticalflowhs_tpu.solver import hs_solve
+
+    h, w, iters = 1024, 1280, 100
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    cfg = HSConfig(alpha=0.5, iters=iters, backend=backend)
+    rng = np.random.default_rng(0)
+    i1 = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+
+    flow = hs_solve(i1, i2, cfg)
+    float(jnp.sum(flow.u))  # full sync: forces deferred compile + execute
+
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        flow = hs_solve(i1, i2, cfg)
+    jax.block_until_ready(flow)
+    dt = (time.perf_counter() - t0) / n
+
+    gpx_sweeps = h * w * iters / dt / 1e9
+    sol_target = 29.0  # Gpx*sweeps/s/chip, fp32 HBM roofline (SURVEY.md §6)
+    print(
+        json.dumps(
+            {
+                "metric": "jacobi_sweep_throughput",
+                "value": round(gpx_sweeps, 3),
+                "unit": "Gpx*sweeps/s/chip",
+                "vs_baseline": round(gpx_sweeps / sol_target, 4),
+                "detail": {
+                    "shape": [h, w],
+                    "iters": iters,
+                    "backend": backend,
+                    "ms_per_solve": round(dt * 1e3, 3),
+                    "device": str(jax.devices()[0].device_kind),
+                    "baseline_is": "fp32 HBM-roofline speed-of-light (29 Gpx*sweeps/s)",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -16,9 +16,10 @@ Layer map (SURVEY.md §1b):
   T6 io/, metrics, viz, cli — formats, metrics, visualization, entry points
 """
 
-from opticalflowhs_tpu.config import HSConfig, PyramidConfig, MeshConfig
-from opticalflowhs_tpu.solver import hs_solve
+from opticalflowhs_tpu.config import HSConfig, PyramidConfig, MeshConfig, RunConfig
+from opticalflowhs_tpu.solver import Flow, hs_solve
 from opticalflowhs_tpu.pyramid import hs_pyramid
+from opticalflowhs_tpu.batch import hs_solve_batched
 
 __version__ = "0.1.0"
 
@@ -26,7 +27,10 @@ __all__ = [
     "HSConfig",
     "PyramidConfig",
     "MeshConfig",
+    "RunConfig",
+    "Flow",
     "hs_solve",
+    "hs_solve_batched",
     "hs_pyramid",
     "__version__",
 ]

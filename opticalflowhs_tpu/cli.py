@@ -1,0 +1,218 @@
+"""CLI entry (component N14; reference R9 — SURVEY.md §2a).
+
+The reference took positional argv (two image paths, alpha, iterations) and
+printed timing. Subcommands here:
+
+    hsflow run f1.png f2.png -o out.flo [--viz flow.png] [--cfg.alpha 0.5] ...
+    hsflow video frames_dir/ -o flows/ [--pyramid.levels 3]
+    hsflow bench [--shape 1024x1280] [--profile-dir DIR]
+    hsflow viz in.flo -o flow.png [--needle]
+    hsflow info
+
+Config flags are dotted overrides onto the frozen dataclasses (SURVEY.md
+§5.6), e.g. --cfg.alpha 0.5 --cfg.iters 200 --pyramid.levels 3; --config
+loads a JSON preset (configs/*.json ship the five driver configs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _split_overrides(argv):
+    """Pull --cfg.x/--pyramid.x/--mesh.x val pairs out of argv."""
+    overrides = {}
+    rest = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--") and "." in a:
+            key = a[2:]
+            sect = key.split(".", 1)[0]
+            if sect in ("cfg", "hs", "pyramid", "mesh"):
+                if "=" in key:
+                    key, val = key.split("=", 1)
+                else:
+                    i += 1
+                    if i >= len(argv):
+                        raise SystemExit(f"missing value for {a}")
+                    val = argv[i]
+                key = key.replace("cfg.", "hs.", 1) if key.startswith("cfg.") else key
+                overrides[key] = val
+                i += 1
+                continue
+        rest.append(a)
+        i += 1
+    return overrides, rest
+
+
+def _build_config(args, overrides):
+    from opticalflowhs_tpu.config import load_config
+
+    return load_config(getattr(args, "config", None), overrides)
+
+
+def _cmd_run(args, overrides):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from opticalflowhs_tpu.io.flo import write_flo
+    from opticalflowhs_tpu.io.images import load_gray, save_image
+    from opticalflowhs_tpu.pyramid import hs_pyramid
+    from opticalflowhs_tpu.viz import flow_to_color, needle_plot
+
+    rc = _build_config(args, overrides)
+    i1 = jnp.asarray(load_gray(args.frame1))
+    i2 = jnp.asarray(load_gray(args.frame2))
+    t0 = time.perf_counter()
+    flow = hs_pyramid(i1, i2, rc.hs, rc.pyramid)
+    f = np.stack([np.asarray(flow.u), np.asarray(flow.v)], axis=-1)
+    dt = time.perf_counter() - t0
+    print(
+        f"solved {i1.shape[1]}x{i1.shape[0]} flow: levels={rc.pyramid.levels} "
+        f"alpha={rc.hs.alpha} iters={rc.hs.iters} backend={rc.hs.backend} "
+        f"in {dt * 1e3:.1f} ms (incl. compile on first run)"
+    )
+    if args.output:
+        write_flo(args.output, f)
+        print(f"wrote {args.output}")
+    if args.viz:
+        save_image(args.viz, flow_to_color(f))
+        print(f"wrote {args.viz}")
+    if args.needle:
+        save_image(args.needle, needle_plot(f, background=np.asarray(i1)))
+        print(f"wrote {args.needle}")
+    return 0
+
+
+def _cmd_video(args, overrides):
+    import os
+
+    import numpy as np
+
+    from opticalflowhs_tpu.io.flo import write_flo
+    from opticalflowhs_tpu.io.images import load_gray, save_image
+    from opticalflowhs_tpu.video import flow_stream
+    from opticalflowhs_tpu.viz import flow_to_color
+
+    rc = _build_config(args, overrides)
+    if os.path.isdir(args.frames):
+        paths = sorted(
+            os.path.join(args.frames, p)
+            for p in os.listdir(args.frames)
+            if p.lower().endswith((".png", ".jpg", ".jpeg", ".pgm", ".ppm", ".bmp"))
+        )
+        frames = (load_gray(p) for p in paths)
+        n_frames = len(paths)
+    else:
+        raise SystemExit(f"{args.frames}: expected a directory of frames")
+    os.makedirs(args.output, exist_ok=True)
+    pyr = rc.pyramid if rc.pyramid.levels > 1 else None
+    t0 = time.perf_counter()
+    idx = 0
+    for chunk in flow_stream(frames, rc.hs, pyr, chunk=args.chunk):
+        u = np.asarray(chunk.u)
+        v = np.asarray(chunk.v)
+        for k in range(u.shape[0]):
+            f = np.stack([u[k], v[k]], axis=-1)
+            write_flo(os.path.join(args.output, f"flow_{idx:05d}.flo"), f)
+            if args.viz:
+                save_image(
+                    os.path.join(args.output, f"flow_{idx:05d}.png"), flow_to_color(f)
+                )
+            idx += 1
+    dt = time.perf_counter() - t0
+    print(f"{idx} flows from {n_frames} frames in {dt:.2f}s ({idx / dt:.1f} fps incl. compile)")
+    return 0
+
+
+def _cmd_bench(args, overrides):
+    from opticalflowhs_tpu.bench import run_bench
+
+    rc = _build_config(args, overrides)
+    h, w = (int(t) for t in args.shape.split("x"))
+    results = run_bench(
+        rc, shape=(h, w), profile_dir=args.profile_dir, repeats=args.repeats
+    )
+    print(json.dumps(results, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    return 0
+
+
+def _cmd_viz(args, _overrides):
+    import numpy as np
+
+    from opticalflowhs_tpu.io.flo import read_flo
+    from opticalflowhs_tpu.io.images import save_image
+    from opticalflowhs_tpu.viz import flow_to_color, needle_plot
+
+    f = read_flo(args.flo)
+    img = needle_plot(f) if args.needle else flow_to_color(f, max_flow=args.max_flow)
+    save_image(args.output, img)
+    print(f"wrote {args.output} ({f.shape[1]}x{f.shape[0]})")
+    return 0
+
+
+def _cmd_info(_args, _overrides):
+    import jax
+
+    import opticalflowhs_tpu
+
+    print(f"opticalflowhs_tpu {opticalflowhs_tpu.__version__}")
+    print(f"jax {jax.__version__}, backend={jax.default_backend()}")
+    for d in jax.devices():
+        print(f"  {d.id}: {d.device_kind} ({d.platform})")
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    overrides, argv = _split_overrides(argv)
+
+    p = argparse.ArgumentParser(prog="hsflow", description=__doc__)
+    p.add_argument("--config", help="JSON config preset (configs/*.json)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pr = sub.add_parser("run", help="flow for one frame pair")
+    pr.add_argument("frame1")
+    pr.add_argument("frame2")
+    pr.add_argument("-o", "--output", help=".flo output path")
+    pr.add_argument("--viz", help="color-wheel PNG output path")
+    pr.add_argument("--needle", help="needle-plot PNG output path")
+    pr.set_defaults(fn=_cmd_run)
+
+    pv = sub.add_parser("video", help="flow over a directory of frames")
+    pv.add_argument("frames")
+    pv.add_argument("-o", "--output", required=True, help="output directory")
+    pv.add_argument("--viz", action="store_true", help="also write PNGs")
+    pv.add_argument("--chunk", type=int, default=8)
+    pv.set_defaults(fn=_cmd_video)
+
+    pb = sub.add_parser("bench", help="benchmark harness (SURVEY.md §6 metrics)")
+    pb.add_argument("--shape", default="1024x1280")
+    pb.add_argument("--repeats", type=int, default=10)
+    pb.add_argument("--profile-dir", help="write a jax.profiler trace here")
+    pb.add_argument("--out", help="write RESULTS.json here")
+    pb.set_defaults(fn=_cmd_bench)
+
+    pz = sub.add_parser("viz", help="render a .flo file")
+    pz.add_argument("flo")
+    pz.add_argument("-o", "--output", required=True)
+    pz.add_argument("--needle", action="store_true")
+    pz.add_argument("--max-flow", type=float, default=None)
+    pz.set_defaults(fn=_cmd_viz)
+
+    pi = sub.add_parser("info", help="device/runtime info")
+    pi.set_defaults(fn=_cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args, overrides)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,80 @@
+"""Streaming video flow, double-buffered (component N8; driver config 4).
+
+The reference is a one-shot two-frame app (SURVEY.md §1a); video streaming
+is mandated by the north star (config 4: HD streaming, real-time frames/s).
+Pipeline-parallel structure (SURVEY.md §2b P6): frames arrive host-side in
+chunks; while chunk k's solve executes on-device, chunk k+1's host->HBM DMA
+is already in flight — realized through JAX's async dispatch by issuing the
+device_put for the next chunk *before* blocking on the current chunk's
+result. Chunks overlap by one frame so the pair stream is seamless.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opticalflowhs_tpu.batch import hs_solve_batched
+from opticalflowhs_tpu.config import HSConfig, PyramidConfig
+from opticalflowhs_tpu.solver import Flow
+
+
+def _chunked_with_overlap(frames: Iterable[np.ndarray], chunk: int):
+    """Yield (chunk+1)-frame windows overlapping by one frame."""
+    buf: list[np.ndarray] = []
+    for f in frames:
+        buf.append(np.asarray(f))
+        if len(buf) == chunk + 1:
+            yield np.stack(buf)
+            buf = buf[-1:]
+    if len(buf) >= 2:
+        yield np.stack(buf)
+
+
+def flow_stream(
+    frames: Union[np.ndarray, Iterable[np.ndarray]],
+    cfg: HSConfig = HSConfig(),
+    pyr: Optional[PyramidConfig] = None,
+    chunk: int = 8,
+) -> Iterator[Flow]:
+    """Stream dense flow over a video, yielding one batched Flow per chunk.
+
+    `frames`: (T, H, W) array or an iterator of (H, W) frames (the iterator
+    form is what a camera/decoder feed looks like). Yields Flow with leading
+    axis = pairs in the chunk; results are device arrays — the consumer
+    chooses when to sync, keeping the pipeline free-running.
+    """
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
+    if isinstance(frames, (np.ndarray, jnp.ndarray)):
+        if frames.ndim != 3:
+            raise ValueError(f"expected (T, H, W) video, got {frames.shape}")
+        frames = iter(frames)
+
+    windows = _chunked_with_overlap(frames, chunk)
+    nxt = next(windows, None)
+    dev_next = jax.device_put(nxt) if nxt is not None else None
+    while dev_next is not None:
+        cur = dev_next
+        nxt = next(windows, None)
+        # Issue the next host->HBM transfer before touching cur's solve:
+        # async dispatch overlaps it with this chunk's compute (P6).
+        dev_next = jax.device_put(nxt) if nxt is not None else None
+        yield hs_solve_batched(cur[:-1], cur[1:], cfg, pyr)
+
+
+def flow_video(
+    frames: np.ndarray,
+    cfg: HSConfig = HSConfig(),
+    pyr: Optional[PyramidConfig] = None,
+    chunk: int = 8,
+) -> Flow:
+    """Whole-video convenience: (T, H, W) frames -> (T-1, H, W) Flow."""
+    us, vs = [], []
+    for f in flow_stream(frames, cfg, pyr, chunk):
+        us.append(f.u)
+        vs.append(f.v)
+    return Flow(jnp.concatenate(us, axis=0), jnp.concatenate(vs, axis=0))

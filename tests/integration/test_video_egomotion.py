@@ -1,0 +1,142 @@
+"""Streaming video flow (N8) and ego-motion estimation (N9) tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opticalflowhs_tpu.batch import hs_solve_batched
+from opticalflowhs_tpu.config import HSConfig, MeshConfig
+from opticalflowhs_tpu.data.synthetic import translation_pair
+from opticalflowhs_tpu.egomotion import estimate_egomotion
+from opticalflowhs_tpu.solver import Flow
+from opticalflowhs_tpu.video import flow_stream, flow_video
+
+CFG = HSConfig(alpha=0.3, iters=60, backend="jnp")
+
+
+def _video(t=10, h=32, w=48):
+    """Deterministic smooth texture translating 1 px/frame in x."""
+    rng = np.random.default_rng(2)
+    base = rng.uniform(0, 1, (h, w + t + 4)).astype(np.float32)
+    # separable box blur to make it trackable
+    for _ in range(3):
+        base = 0.25 * (np.roll(base, 1, 0) + np.roll(base, -1, 0) + base * 2)
+        base = 0.25 * (np.roll(base, 1, 1) + np.roll(base, -1, 1) + base * 2)
+    return np.stack([base[:, k : k + w] for k in range(t)])
+
+
+def test_flow_video_matches_batched():
+    vid = _video()
+    fv = flow_video(vid, CFG, chunk=4)
+    fb = hs_solve_batched(jnp.asarray(vid[:-1]), jnp.asarray(vid[1:]), CFG)
+    assert fv.u.shape == (vid.shape[0] - 1, *vid.shape[1:])
+    np.testing.assert_allclose(np.asarray(fv.u), np.asarray(fb.u), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fv.v), np.asarray(fb.v), atol=1e-6)
+
+
+def test_flow_stream_iterator_input():
+    vid = _video(t=7)
+    chunks = list(flow_stream(iter(list(vid)), CFG, chunk=3))
+    total_pairs = sum(int(c.u.shape[0]) for c in chunks)
+    assert total_pairs == 6
+    # scene content shifts left 1 px/frame; partially-converged HS at 60
+    # iters recovers the sign and a sizable fraction of the magnitude
+    u_mean = float(np.mean([np.asarray(c.u[:, 8:-8, 8:-8]).mean() for c in chunks]))
+    assert -1.3 < u_mean < -0.25
+
+
+def test_flow_stream_rejects_bad_args():
+    with pytest.raises(ValueError, match="chunk"):
+        list(flow_stream(_video(), chunk=0))
+    with pytest.raises(ValueError, match="T, H, W"):
+        list(flow_stream(np.zeros((8, 8)), CFG))
+
+
+# -- ego-motion ---------------------------------------------------------------
+
+
+def _model_flow(h, w, tx, ty, omega, s):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cx, cy = (w - 1) / 2, (h - 1) / 2
+    xb, yb = xx - cx, yy - cy
+    u = tx + s * xb - omega * yb
+    v = ty + s * yb + omega * xb
+    return Flow(jnp.asarray(u), jnp.asarray(v))
+
+
+@pytest.mark.parametrize(
+    "tx,ty,omega,s",
+    [(1.5, -0.5, 0.0, 0.0), (0.0, 0.0, 0.02, 0.0), (0.3, 0.1, -0.01, 0.005)],
+)
+def test_egomotion_recovers_exact_model(tx, ty, omega, s):
+    em = estimate_egomotion(_model_flow(48, 64, tx, ty, omega, s))
+    assert abs(float(em.tx) - tx) < 1e-4
+    assert abs(float(em.ty) - ty) < 1e-4
+    assert abs(float(em.omega) - omega) < 1e-5
+    assert abs(float(em.scale) - s) < 1e-5
+    assert float(em.residual) < 1e-4
+
+
+def test_egomotion_foe():
+    # pure zoom from a known center: FOE should be that center (relative)
+    em = estimate_egomotion(_model_flow(64, 64, 0.0, 0.0, 0.0, 0.05))
+    fx, fy = em.focus_of_expansion()
+    assert abs(float(fx)) < 1e-3 and abs(float(fy)) < 1e-3
+
+
+def test_egomotion_batched():
+    f1 = _model_flow(32, 32, 1.0, 0.0, 0.0, 0.0)
+    f2 = _model_flow(32, 32, 0.0, 2.0, 0.0, 0.0)
+    f = Flow(jnp.stack([f1.u, f2.u]), jnp.stack([f1.v, f2.v]))
+    em = estimate_egomotion(f)
+    np.testing.assert_allclose(np.asarray(em.tx), [1.0, 0.0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(em.ty), [0.0, 2.0], atol=1e-4)
+
+
+def test_egomotion_from_real_flow():
+    """End-to-end: HS flow of a translating pair -> ego translation."""
+    i1, i2, _ = translation_pair(48, 64, 1.0, 0.0, key=4)
+    from opticalflowhs_tpu.solver import hs_solve
+
+    f = hs_solve(jnp.asarray(i1), jnp.asarray(i2), HSConfig(alpha=0.1, iters=800))
+    em = estimate_egomotion(f)
+    assert abs(float(em.tx) - 1.0) < 0.25
+    assert abs(float(em.ty)) < 0.15
+
+
+def test_egomotion_sharded_matches_unsharded():
+    """psum-moment path inside shard_map == single-device estimate."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from opticalflowhs_tpu.dist import make_mesh
+
+    flow = _model_flow(32, 64, 0.7, -0.2, 0.01, 0.003)
+    mesh = make_mesh(MeshConfig(batch=1, y=2, x=4))
+    th, tw = 16, 16
+
+    def body(u, v):
+        iy = jax.lax.axis_index("y")
+        ix = jax.lax.axis_index("x")
+        em = estimate_egomotion(
+            Flow(u, v),
+            axis_names=("y", "x"),
+            global_offset=(iy * th, ix * tw),
+        )
+        return jnp.stack([em.tx, em.ty, em.omega, em.scale, em.residual])
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("y", "x"), P("y", "x")),
+            out_specs=P(),
+        )
+    )
+    sh = NamedSharding(mesh, P("y", "x"))
+    got = np.asarray(fn(jax.device_put(flow.u, sh), jax.device_put(flow.v, sh)))
+    ref = estimate_egomotion(flow)
+    np.testing.assert_allclose(
+        got, [float(ref.tx), float(ref.ty), float(ref.omega), float(ref.scale), float(ref.residual)],
+        atol=1e-4,
+    )

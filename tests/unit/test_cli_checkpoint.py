@@ -1,0 +1,134 @@
+"""CLI (N14) and checkpoint/resume (SURVEY.md §5.4) tests."""
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opticalflowhs_tpu.checkpoint import (
+    hs_solve_checkpointed,
+    load_state,
+    save_state,
+)
+from opticalflowhs_tpu.cli import main as cli_main
+from opticalflowhs_tpu.config import HSConfig
+from opticalflowhs_tpu.io.flo import read_flo
+from opticalflowhs_tpu.io.images import save_image
+from opticalflowhs_tpu.solver import Flow, hs_solve
+
+
+@pytest.fixture
+def pair_files(tmp_path, small_translation_pair):
+    i1, i2, _ = small_translation_pair
+    p1 = tmp_path / "f1.pgm"
+    p2 = tmp_path / "f2.pgm"
+    save_image(p1, i1)
+    save_image(p2, i2)
+    return str(p1), str(p2)
+
+
+def test_cli_run_writes_outputs(tmp_path, pair_files):
+    p1, p2 = pair_files
+    flo = str(tmp_path / "out.flo")
+    png = str(tmp_path / "flow.png")
+    rc = cli_main(
+        ["run", p1, p2, "-o", flo, "--viz", png, "--cfg.iters", "10", "--cfg.alpha", "0.5"]
+    )
+    assert rc == 0
+    f = read_flo(flo)
+    assert f.shape == (64, 80, 2)
+    assert os.path.getsize(png) > 0
+
+
+def test_cli_viz_roundtrip(tmp_path, pair_files):
+    p1, p2 = pair_files
+    flo = str(tmp_path / "out.flo")
+    cli_main(["run", p1, p2, "-o", flo, "--cfg.iters", "5"])
+    out = str(tmp_path / "v.png")
+    assert cli_main(["viz", flo, "-o", out]) == 0
+    assert os.path.getsize(out) > 0
+    out2 = str(tmp_path / "needle.png")
+    assert cli_main(["viz", flo, "-o", out2, "--needle"]) == 0
+
+
+def test_cli_video(tmp_path):
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 1, (32, 64)).astype(np.float32)
+    fdir = tmp_path / "frames"
+    fdir.mkdir()
+    for k in range(4):
+        save_image(fdir / f"f{k:03d}.pgm", np.roll(base, k, axis=1))
+    odir = str(tmp_path / "flows")
+    rc = cli_main(["video", str(fdir), "-o", odir, "--cfg.iters", "8", "--chunk", "2"])
+    assert rc == 0
+    assert len([p for p in os.listdir(odir) if p.endswith(".flo")]) == 3
+
+
+def test_cli_info(capsys):
+    assert cli_main(["info"]) == 0
+    out = capsys.readouterr().out
+    assert "jax" in out
+
+
+def test_cli_config_preset(tmp_path, pair_files):
+    p1, p2 = pair_files
+    preset = os.path.join(os.path.dirname(__file__), "../../configs/c3_pyramid.json")
+    flo = str(tmp_path / "out.flo")
+    rc = cli_main(["--config", preset, "run", p1, p2, "-o", flo, "--cfg.iters", "4"])
+    assert rc == 0
+    assert read_flo(flo).shape == (64, 80, 2)
+
+
+# -- checkpoint/resume ---------------------------------------------------------
+
+
+def _problem():
+    rng = np.random.default_rng(1)
+    i1 = jnp.asarray(rng.uniform(0, 1, (24, 40)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (24, 40)).astype(np.float32))
+    return i1, i2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = HSConfig(iters=10)
+    u = jnp.ones((4, 5))
+    v = jnp.zeros((4, 5))
+    p = str(tmp_path / "st.npz")
+    save_state(p, Flow(u, v), 7, cfg)
+    flow, done = load_state(p, cfg)
+    assert done == 7
+    np.testing.assert_array_equal(np.asarray(flow.u), np.asarray(u))
+    with pytest.raises(ValueError, match="different config"):
+        load_state(p, HSConfig(iters=11))
+
+
+def test_checkpointed_solve_bitwise_equals_straight(tmp_path):
+    i1, i2 = _problem()
+    cfg = HSConfig(alpha=0.5, iters=20, backend="jnp", checkpoint_every=6)
+    p = str(tmp_path / "ck.npz")
+    f_ck = hs_solve_checkpointed(i1, i2, cfg, p)
+    f_st = hs_solve(i1, i2, dataclasses.replace(cfg, checkpoint_every=0))
+    np.testing.assert_array_equal(np.asarray(f_ck.u), np.asarray(f_st.u))
+    np.testing.assert_array_equal(np.asarray(f_ck.v), np.asarray(f_st.v))
+
+
+def test_checkpointed_resume_bitwise(tmp_path):
+    """Interrupt after the first segment; resume must finish identically."""
+    i1, i2 = _problem()
+    cfg = HSConfig(alpha=0.5, iters=20, backend="jnp", checkpoint_every=8)
+    p = str(tmp_path / "ck.npz")
+    # Simulate an interrupted run: do exactly one 8-sweep segment + save.
+    seg = hs_solve(i1, i2, dataclasses.replace(cfg, iters=8, checkpoint_every=0))
+    save_state(p, seg, 8, cfg)
+    f_resumed = hs_solve_checkpointed(i1, i2, cfg, p, resume=True)
+    f_straight = hs_solve(i1, i2, dataclasses.replace(cfg, checkpoint_every=0))
+    np.testing.assert_array_equal(np.asarray(f_resumed.u), np.asarray(f_straight.u))
+    np.testing.assert_array_equal(np.asarray(f_resumed.v), np.asarray(f_straight.v))
+
+
+def test_checkpointed_requires_k(tmp_path):
+    i1, i2 = _problem()
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        hs_solve_checkpointed(i1, i2, HSConfig(iters=4), str(tmp_path / "x.npz"))

@@ -1,0 +1,81 @@
+"""Pallas kernel ≡ jnp ops equivalence (SURVEY.md §4 oracle rung 4).
+
+Runs the kernels in Pallas interpret mode on the CPU test backend; the
+`tpu`-marked test compiles the real Mosaic kernels on hardware
+(HSFLOW_TEST_TPU=1).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opticalflowhs_tpu.config import HSConfig
+from opticalflowhs_tpu.kernels import jacobi as jk
+from opticalflowhs_tpu.ops import stencils
+from opticalflowhs_tpu.solver import hs_solve, precompute
+
+
+def _oracle_sweeps(u, v, ex, ey, et, invd, n):
+    for _ in range(n):
+        u, v = stencils.jacobi_step(u, v, ex, ey, et, invd)
+    return u, v
+
+
+def _problem(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    i1 = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    i2 = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    cfg = HSConfig(alpha=0.7)
+    ex, ey, et, invd = precompute(jnp.asarray(i1), jnp.asarray(i2), cfg)
+    u = jnp.zeros_like(ex)
+    v = jnp.zeros_like(ex)
+    return u, v, ex, ey, et, invd
+
+
+# Shapes chosen to hit: tile-aligned, unaligned rows, unaligned cols, both,
+# and smaller-than-one-tile.
+@pytest.mark.parametrize("shape", [(64, 128), (37, 51), (64, 80), (129, 257), (8, 128)])
+@pytest.mark.parametrize("n", [1, 7])
+def test_vmem_path_matches_jnp(shape, n):
+    u, v, ex, ey, et, invd = _problem(*shape)
+    uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, n, interpret=True)
+    ur, vr = _oracle_sweeps(u, v, ex, ey, et, invd, n)
+    np.testing.assert_allclose(uo, ur, atol=1e-6)
+    np.testing.assert_allclose(vo, vr, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(300, 140), (512, 128), (70, 260)])
+@pytest.mark.parametrize("n", [1, 3])
+def test_banded_path_matches_jnp(shape, n, monkeypatch):
+    # Force the banded path by shrinking the VMEM budget, and use a small
+    # band height so several bands exist.
+    monkeypatch.setattr(jk, "_VMEM_BUDGET", 1)
+    monkeypatch.setattr(jk, "_BAND_ROWS", 64)
+    u, v, ex, ey, et, invd = _problem(*shape, seed=3)
+    uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, n, interpret=True)
+    ur, vr = _oracle_sweeps(u, v, ex, ey, et, invd, n)
+    np.testing.assert_allclose(uo, vr * 0 + uo, atol=0)  # shape sanity
+    np.testing.assert_allclose(uo, ur, atol=1e-6)
+    np.testing.assert_allclose(vo, vr, atol=1e-6)
+
+
+def test_band_shorter_than_image(monkeypatch):
+    # Image smaller than one band: degenerate single-band grid.
+    monkeypatch.setattr(jk, "_VMEM_BUDGET", 1)
+    monkeypatch.setattr(jk, "_BAND_ROWS", 256)
+    u, v, ex, ey, et, invd = _problem(40, 130, seed=5)
+    uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, 2, interpret=True)
+    ur, vr = _oracle_sweeps(u, v, ex, ey, et, invd, 2)
+    np.testing.assert_allclose(uo, ur, atol=1e-6)
+    np.testing.assert_allclose(vo, vr, atol=1e-6)
+
+
+@pytest.mark.tpu
+def test_pallas_backend_on_tpu(small_translation_pair):
+    i1, i2, gt_u, gt_v = small_translation_pair
+    cfg_j = HSConfig(alpha=0.5, iters=64, backend="jnp")
+    cfg_p = HSConfig(alpha=0.5, iters=64, backend="pallas")
+    fj = hs_solve(jnp.asarray(i1), jnp.asarray(i2), cfg_j)
+    fp = hs_solve(jnp.asarray(i1), jnp.asarray(i2), cfg_p)
+    np.testing.assert_allclose(np.asarray(fp.u), np.asarray(fj.u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fp.v), np.asarray(fj.v), atol=1e-5)

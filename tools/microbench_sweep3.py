@@ -1,0 +1,128 @@
+"""Round 3: carry overhead floor, MXU tridiag w/ block-roll fix, stacked uv."""
+import time
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SWEEPS = 100
+
+def sl(a): return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+def sr(a): return jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+def su(a): return jnp.concatenate([a[1:, :], a[-1:, :]], axis=0)
+def sd(a): return jnp.concatenate([a[:1, :], a[:-1, :]], axis=0)
+
+def navg_roll2(u, H, W):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], W), 1)
+    tu = pltpu.roll(u, shift=1, axis=0)
+    td = pltpu.roll(u, shift=u.shape[0]-1, axis=0)
+    tu = jnp.where(rows == 0, u, tu)
+    td = jnp.where(rows == u.shape[0]-1, u, td)
+    t = tu + 2.0*u + td
+    lf = pltpu.roll(t, shift=W-1, axis=1)
+    rt_ = pltpu.roll(t, shift=1, axis=1)
+    lf = jnp.where(cols == W-1, t, lf)
+    rt_ = jnp.where(cols == 0, t, rt_)
+    return (lf + 2.0*t + rt_)*(1/12.0) - u*(1/3.0)
+
+def navg_mxu2(u, tmat, e_lo, e_hi, H, W):
+    # row pass on VPU
+    t = sd(u) + 2.0*u + su(u)
+    nw = W // 128
+    t3 = t.reshape(H, nw, 128)
+    dn = (((2,), (0,)), ((), ()))
+    s3 = jax.lax.dot_general(t3, tmat, dn, preferred_element_type=jnp.float32)
+    # cross-block contributions via block-granular lane roll (no lane crossing)
+    t_prev = pltpu.roll(t, shift=128, axis=1).reshape(H, nw, 128)   # block k holds k-1
+    t_next = pltpu.roll(t, shift=W-128, axis=1).reshape(H, nw, 128) # block k holds k+1
+    s3 = s3 + jax.lax.dot_general(t_prev, e_lo, dn, preferred_element_type=jnp.float32)
+    s3 = s3 + jax.lax.dot_general(t_next, e_hi, dn, preferred_element_type=jnp.float32)
+    s = s3.reshape(H, W)
+    # block 0 left clamp and last block right clamp: wrap contributions are wrong
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    # col 0 got t[:, W-1] (wrap) but wants t[:, 0]; col W-1 got t[:, 0], wants t[:, W-1]
+    s = jnp.where(cols == 0, 3.0*t + pltpu.roll(t, shift=W-1, axis=1), s)
+    s = jnp.where(cols == W-1, 3.0*t + pltpu.roll(t, shift=1, axis=1), s)
+    return s*(1/12.0) - u*(1/3.0)
+
+def make_kernel(mode, H, W):
+    def kernel(*refs):
+        if mode == 'mxu2':
+            ex_ref, ey_ref, et_ref, invd_ref, u0_ref, v0_ref, tm, elo, ehi, uo_ref, vo_ref = refs
+            extras = (tm[...], elo[...], ehi[...], H, W)
+            navg = navg_mxu2
+        elif mode == 'carry':
+            ex_ref, ey_ref, et_ref, invd_ref, u0_ref, v0_ref, uo_ref, vo_ref = refs
+        else:
+            ex_ref, ey_ref, et_ref, invd_ref, u0_ref, v0_ref, uo_ref, vo_ref = refs
+            extras = (H, W)
+            navg = navg_roll2
+        ex, ey, et, invd = ex_ref[...], ey_ref[...], et_ref[...], invd_ref[...]
+        if mode == 'carry':
+            def body(_, uv):
+                u, v = uv
+                return (u*1.0001 + 0.5, v*1.0001 - 0.5)
+        elif mode == 'stacked':
+            def body(_, uv):
+                z, _unused = uv
+                zb = navg(z, *extras)   # seam rows H-1/H corrupted; ignore (perf probe)
+                ub, vb = zb[:H], zb[H:]
+                frac = (ex*ub + ey*vb + et) * invd
+                return (jnp.concatenate([ub - ex*frac, vb - ey*frac], axis=0), _unused)
+        else:
+            def body(_, uv):
+                u, v = uv
+                ub = navg(u, *extras)
+                vb = navg(v, *extras)
+                frac = (ex*ub + ey*vb + et) * invd
+                return (ub - ex*frac, vb - ey*frac)
+        if mode == 'stacked':
+            z0 = jnp.concatenate([u0_ref[...], v0_ref[...]], axis=0)
+            z, _ = jax.lax.fori_loop(0, SWEEPS, body, (z0, jnp.zeros((8,128), jnp.float32)))
+            uo_ref[...] = z[:H]
+            vo_ref[...] = z[H:]
+        else:
+            u, v = jax.lax.fori_loop(0, SWEEPS, body, (u0_ref[...], v0_ref[...]))
+            uo_ref[...] = u
+            vo_ref[...] = v
+    return kernel
+
+def run(name, mode, H, W):
+    rng = np.random.default_rng(0)
+    ins = [jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32)) for _ in range(6)]
+    nin = 6
+    if mode == 'mxu2':
+        tm = np.zeros((128,128), np.float32)
+        for j in range(128):
+            tm[j,j]=2.0
+            if j>0: tm[j-1,j]=1.0
+            if j<127: tm[j+1,j]=1.0
+        elo = np.zeros((128,128), np.float32); elo[127,0]=1.0
+        ehi = np.zeros((128,128), np.float32); ehi[0,127]=1.0
+        ins += [jnp.asarray(tm), jnp.asarray(elo), jnp.asarray(ehi)]
+        nin = 9
+    out = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f = jax.jit(lambda *a: pl.pallas_call(
+        make_kernel(mode, H, W), out_shape=(out, out), in_specs=[spec]*nin,
+        out_specs=(spec, spec),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110*1024*1024),
+    )(*a))
+    try:
+        r = f(*ins); checksum = float(jnp.sum(r[0]))
+    except Exception as e:
+        print(f"{name}: FAILED {type(e).__name__}: {str(e)[:150]}", flush=True)
+        return
+    N = 5
+    t0 = time.perf_counter()
+    for _ in range(N): r = f(*ins)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter()-t0)/N
+    print(f"{name}: {dt*1e3:.3f} ms ({H*W*SWEEPS/dt/1e9:.1f} Gpx*sweep/s) sum={checksum:.1f}", flush=True)
+
+run("carry-only 1024x1280", 'carry', 1024, 1280)
+run("roll2      1024x1280", 'roll2', 1024, 1280)
+run("mxu2       1024x1280", 'mxu2', 1024, 1280)
+run("stacked    1024x1280", 'stacked', 1024, 1280)
+run("roll2       512x 640", 'roll2', 512, 640)
+run("roll2       256x2560", 'roll2', 256, 2560)
