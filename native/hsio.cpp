@@ -1,0 +1,292 @@
+// libhsio — native IO/runtime support for opticalflowhs_tpu.
+//
+// TPU-native equivalent of the reference's C/C++ host-side IO layer
+// (SURVEY.md §2a R4/R7 and the native-component ledger): the compute runtime
+// is JAX/XLA/PJRT, but frame decode and flow-file IO stay on the host CPU and
+// can bottleneck a streaming pipeline (driver config 4) when done in Python.
+// This library provides:
+//   * binary PGM/PPM decode -> float32 grayscale in [0, 1]
+//   * Middlebury .flo read/write (SURVEY.md §2.5 FLO)
+//   * a multi-threaded prefetching frame loader: worker threads decode
+//     ahead into a bounded ring so the accelerator never waits on decode
+//     (pipeline-parallel stage P6, SURVEY.md §2b)
+//
+// C ABI throughout: bound from Python with ctypes (no pybind11 in this
+// environment). Thread-safe; all handles are opaque.
+
+#include <atomic>
+#include <cctype>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Image {
+  int w = 0, h = 0;
+  std::vector<float> px;  // grayscale [0,1], row-major
+};
+
+bool read_file(const char* path, std::vector<unsigned char>& out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (n < 0) { std::fclose(f); return false; }
+  out.resize(static_cast<size_t>(n));
+  size_t got = n ? std::fread(out.data(), 1, static_cast<size_t>(n), f) : 0;
+  std::fclose(f);
+  return got == static_cast<size_t>(n);
+}
+
+// Parse PNM header tokens (magic, w, h, maxval), honoring '#' comments.
+bool pnm_header(const std::vector<unsigned char>& d, std::string& magic,
+                long vals[3], size_t& data_off) {
+  size_t i = 0;
+  int tok = 0;
+  std::string cur;
+  magic.clear();
+  while (i < d.size() && tok < 4) {
+    unsigned char c = d[i];
+    if (c == '#') {
+      while (i < d.size() && d[i] != '\n') ++i;
+      continue;
+    }
+    if (std::isspace(c)) {
+      if (!cur.empty()) {
+        if (tok == 0) magic = cur;
+        else vals[tok - 1] = std::strtol(cur.c_str(), nullptr, 10);
+        ++tok;
+        cur.clear();
+      }
+      ++i;
+      continue;
+    }
+    cur.push_back(static_cast<char>(c));
+    ++i;
+  }
+  if (tok < 4) return false;
+  data_off = i;  // single whitespace after maxval already consumed
+  return true;
+}
+
+bool decode_pnm(const std::vector<unsigned char>& d, Image& img) {
+  std::string magic;
+  long v[3];
+  size_t off;
+  if (!pnm_header(d, magic, v, off)) return false;
+  const long w = v[0], h = v[1], maxval = v[2];
+  if (w <= 0 || h <= 0 || maxval <= 0) return false;
+  const int ch = (magic == "P6" || magic == "P3") ? 3 : 1;
+  const size_t count = static_cast<size_t>(w) * h * ch;
+  img.w = static_cast<int>(w);
+  img.h = static_cast<int>(h);
+  img.px.resize(static_cast<size_t>(w) * h);
+  const float maxv = static_cast<float>(maxval);
+  // BT.601 luma for color inputs, matching io/images.py.
+  const float wr = 0.299f, wg = 0.587f, wb = 0.114f;
+
+  if (magic == "P5" || magic == "P6") {
+    const int bytes = maxval > 255 ? 2 : 1;
+    if (d.size() < off + count * bytes) return false;
+    const unsigned char* p = d.data() + off;
+    if (ch == 1) {
+      if (bytes == 1) {
+        for (size_t k = 0; k < count; ++k) img.px[k] = static_cast<float>(p[k]) / maxv;
+      } else {
+        for (size_t k = 0; k < count; ++k)
+          img.px[k] = static_cast<float>((p[2 * k] << 8) | p[2 * k + 1]) / maxv;
+      }
+    } else {
+      for (size_t k = 0; k < static_cast<size_t>(w) * h; ++k) {
+        float r, g, b;
+        if (bytes == 1) {
+          r = p[3 * k] / maxv; g = p[3 * k + 1] / maxv; b = p[3 * k + 2] / maxv;
+        } else {
+          auto rd = [&](size_t j) {
+            return static_cast<float>((p[2 * j] << 8) | p[2 * j + 1]) / maxv;
+          };
+          r = rd(3 * k); g = rd(3 * k + 1); b = rd(3 * k + 2);
+        }
+        img.px[k] = wr * r + wg * g + wb * b;
+      }
+    }
+    return true;
+  }
+  if (magic == "P2" || magic == "P3") {
+    const char* p = reinterpret_cast<const char*>(d.data()) + off;
+    const char* end = reinterpret_cast<const char*>(d.data()) + d.size();
+    std::vector<float> vals;
+    vals.reserve(count);
+    while (p < end && vals.size() < count) {
+      char* next;
+      long x = std::strtol(p, &next, 10);
+      if (next == p) { ++p; continue; }
+      vals.push_back(static_cast<float>(x) / maxv);
+      p = next;
+    }
+    if (vals.size() < count) return false;
+    if (ch == 1) {
+      std::memcpy(img.px.data(), vals.data(), count * sizeof(float));
+    } else {
+      for (size_t k = 0; k < static_cast<size_t>(w) * h; ++k)
+        img.px[k] = wr * vals[3 * k] + wg * vals[3 * k + 1] + wb * vals[3 * k + 2];
+    }
+    return true;
+  }
+  return false;
+}
+
+constexpr float kFloMagic = 202021.25f;  // "PIEH"
+
+}  // namespace
+
+extern "C" {
+
+// ---- one-shot decode --------------------------------------------------------
+
+// Returns 0 on success. Queries dimensions only when out == nullptr.
+int hsio_load_gray(const char* path, float* out, int* w, int* h) {
+  std::vector<unsigned char> d;
+  if (!read_file(path, d)) return -1;
+  Image img;
+  if (!decode_pnm(d, img)) return -2;
+  *w = img.w;
+  *h = img.h;
+  if (out) std::memcpy(out, img.px.data(), img.px.size() * sizeof(float));
+  return 0;
+}
+
+// ---- .flo -------------------------------------------------------------------
+
+int hsio_read_flo(const char* path, float* out, int* w, int* h) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  float magic;
+  int32_t wi, hi;
+  if (std::fread(&magic, 4, 1, f) != 1 || magic != kFloMagic ||
+      std::fread(&wi, 4, 1, f) != 1 || std::fread(&hi, 4, 1, f) != 1) {
+    std::fclose(f);
+    return -2;
+  }
+  *w = wi;
+  *h = hi;
+  int rc = 0;
+  if (out) {
+    size_t n = static_cast<size_t>(wi) * hi * 2;
+    if (std::fread(out, 4, n, f) != n) rc = -3;
+  }
+  std::fclose(f);
+  return rc;
+}
+
+int hsio_write_flo(const char* path, const float* data, int w, int h) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  int32_t wi = w, hi = h;
+  int ok = std::fwrite(&kFloMagic, 4, 1, f) == 1 &&
+           std::fwrite(&wi, 4, 1, f) == 1 && std::fwrite(&hi, 4, 1, f) == 1 &&
+           std::fwrite(data, 4, static_cast<size_t>(w) * h * 2, f) ==
+               static_cast<size_t>(w) * h * 2;
+  std::fclose(f);
+  return ok ? 0 : -2;
+}
+
+// ---- threaded prefetching frame loader -------------------------------------
+
+struct hsio_loader {
+  std::vector<std::string> paths;
+  size_t next_submit = 0;     // next frame index to hand to a worker
+  size_t next_emit = 0;       // next frame index the consumer receives
+  size_t capacity = 0;        // ring depth
+  std::deque<std::pair<size_t, Image>> done;  // decoded, possibly out of order
+  std::mutex mu;
+  std::condition_variable cv_worker, cv_consumer;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+  std::atomic<int> error{0};
+
+  void work() {
+    for (;;) {
+      size_t idx;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_worker.wait(lk, [&] {
+          return stop || (next_submit < paths.size() &&
+                          next_submit - next_emit < capacity);
+        });
+        if (stop || next_submit >= paths.size()) return;
+        idx = next_submit++;
+      }
+      Image img;
+      std::vector<unsigned char> d;
+      bool ok = read_file(paths[idx].c_str(), d) && decode_pnm(d, img);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (!ok) error = -2;
+        done.emplace_back(idx, std::move(img));
+        cv_consumer.notify_all();
+      }
+    }
+  }
+};
+
+hsio_loader* hsio_loader_open(const char** paths, int n_paths, int n_threads,
+                              int prefetch_depth) {
+  auto* L = new hsio_loader();
+  L->paths.assign(paths, paths + n_paths);
+  L->capacity = prefetch_depth > 0 ? prefetch_depth : 4;
+  int nt = n_threads > 0 ? n_threads : 2;
+  for (int i = 0; i < nt; ++i) L->workers.emplace_back(&hsio_loader::work, L);
+  return L;
+}
+
+// Blocks until frame `next_emit` is decoded; returns 0 and fills out/w/h.
+// Returns 1 when the stream is exhausted, <0 on decode error.
+int hsio_loader_next(hsio_loader* L, float* out, int* w, int* h) {
+  std::unique_lock<std::mutex> lk(L->mu);
+  if (L->next_emit >= L->paths.size()) return 1;
+  size_t want = L->next_emit;
+  L->cv_consumer.wait(lk, [&] {
+    if (L->error) return true;
+    for (auto& kv : L->done)
+      if (kv.first == want) return true;
+    return false;
+  });
+  if (L->error) return L->error.load();
+  for (auto it = L->done.begin(); it != L->done.end(); ++it) {
+    if (it->first == want) {
+      *w = it->second.w;
+      *h = it->second.h;
+      if (out)
+        std::memcpy(out, it->second.px.data(),
+                    it->second.px.size() * sizeof(float));
+      L->done.erase(it);
+      break;
+    }
+  }
+  ++L->next_emit;
+  L->cv_worker.notify_all();
+  return 0;
+}
+
+void hsio_loader_close(hsio_loader* L) {
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->stop = true;
+  }
+  L->cv_worker.notify_all();
+  for (auto& t : L->workers) t.join();
+  delete L;
+}
+
+int hsio_version() { return 10000; }  // 1.0.0
+
+}  // extern "C"

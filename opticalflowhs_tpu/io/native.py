@@ -1,0 +1,168 @@
+"""ctypes bindings for libhsio — the native IO/prefetch library.
+
+The compute runtime is JAX/PJRT; this is the native host-side data path
+(SURVEY.md native-component ledger): C++ PNM decode, .flo IO, and a
+threaded prefetching frame loader for streaming video (config 4). Every
+entry point degrades gracefully to the pure-Python implementations in
+io/images.py / io/flo.py when the shared library hasn't been built
+(`make -C native`), so the package never hard-depends on a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+_LIB_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_LIB_DIR, "libhsio.so"))
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def build(force: bool = False) -> bool:
+    """Compile libhsio.so with the in-tree Makefile. Returns success."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_LIB_DIR)],
+            check=True,
+            capture_output=True,
+        )
+        return os.path.exists(_LIB_PATH)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.hsio_load_gray.argtypes = [ctypes.c_char_p, fp, ip, ip]
+    lib.hsio_read_flo.argtypes = [ctypes.c_char_p, fp, ip, ip]
+    lib.hsio_write_flo.argtypes = [ctypes.c_char_p, fp, ctypes.c_int, ctypes.c_int]
+    lib.hsio_loader_open.restype = ctypes.c_void_p
+    lib.hsio_loader_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.hsio_loader_next.argtypes = [ctypes.c_void_p, fp, ip, ip]
+    lib.hsio_loader_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def load_gray(path: str) -> np.ndarray:
+    """Native PNM decode; falls back to io.images.load_gray otherwise."""
+    lib = _load()
+    ext = os.path.splitext(path)[1].lower()
+    if lib is None or ext not in (".pgm", ".ppm", ".pnm"):
+        from opticalflowhs_tpu.io.images import load_gray as py_load
+
+        return py_load(path)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.hsio_load_gray(path.encode(), None, ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise IOError(f"hsio_load_gray({path}) failed with {rc}")
+    out = np.empty((h.value, w.value), dtype=np.float32)
+    rc = lib.hsio_load_gray(path.encode(), _fp(out), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise IOError(f"hsio_load_gray({path}) failed with {rc}")
+    return out
+
+
+def read_flo(path: str) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        from opticalflowhs_tpu.io.flo import read_flo as py_read
+
+        return py_read(path)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.hsio_read_flo(path.encode(), None, ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise IOError(f"hsio_read_flo({path}) failed with {rc}")
+    out = np.empty((h.value, w.value, 2), dtype=np.float32)
+    rc = lib.hsio_read_flo(path.encode(), _fp(out), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise IOError(f"hsio_read_flo({path}) failed with {rc}")
+    return out
+
+
+def write_flo(path: str, flow: np.ndarray) -> None:
+    lib = _load()
+    if lib is None:
+        from opticalflowhs_tpu.io.flo import write_flo as py_write
+
+        py_write(path, flow)
+        return
+    arr = np.ascontiguousarray(flow, dtype=np.float32)
+    if arr.ndim != 3 or arr.shape[2] != 2:
+        raise ValueError(f"expected (H, W, 2) flow, got {arr.shape}")
+    rc = lib.hsio_write_flo(path.encode(), _fp(arr), arr.shape[1], arr.shape[0])
+    if rc != 0:
+        raise IOError(f"hsio_write_flo({path}) failed with {rc}")
+
+
+def stream_frames(
+    paths: Sequence[str], n_threads: int = 4, prefetch: int = 8
+) -> Iterator[np.ndarray]:
+    """Threaded prefetching frame iterator (pipeline stage P6).
+
+    Worker threads decode up to `prefetch` frames ahead while the consumer
+    (the TPU solve loop) drains in order. Falls back to synchronous Python
+    decode without the library.
+    """
+    lib = _load()
+    if lib is None:
+        from opticalflowhs_tpu.io.images import load_gray as py_load
+
+        for p in paths:
+            yield py_load(p)
+        return
+    enc = [p.encode() for p in paths]
+    arr = (ctypes.c_char_p * len(enc))(*enc)
+    handle = lib.hsio_loader_open(arr, len(enc), n_threads, prefetch)
+    if not handle:
+        raise IOError("hsio_loader_open failed")
+    try:
+        if not paths:
+            return
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        # Header-only dimension probe (out=None reads no pixel data).
+        rc = lib.hsio_load_gray(paths[0].encode(), None, ctypes.byref(w), ctypes.byref(h))
+        if rc != 0:
+            raise IOError(f"hsio_load_gray({paths[0]}) failed with {rc}")
+        out = np.empty((h.value, w.value), dtype=np.float32)
+        while True:
+            rc = lib.hsio_loader_next(handle, _fp(out), ctypes.byref(w), ctypes.byref(h))
+            if rc == 1:
+                return
+            if rc != 0:
+                raise IOError(f"hsio_loader_next failed with {rc}")
+            yield out.copy()
+    finally:
+        lib.hsio_loader_close(handle)
