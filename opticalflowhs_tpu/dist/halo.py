@@ -20,6 +20,20 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Fault-injection hook (SURVEY.md §5.3): tests install a halo-corrupting
+# callable to validate failure detection/recovery. Trace-time state, so
+# installing/removing it clears the tiled solver's jit cache.
+_FAULT_HOOK = None
+
+
+def set_fault_hook(fn) -> None:
+    """Install (or clear, with None) a halo corruption hook for fault tests."""
+    global _FAULT_HOOK
+    _FAULT_HOOK = fn
+    from opticalflowhs_tpu.dist import tiled_solver
+
+    tiled_solver._tiled_impl.clear_cache()
+
 
 def _shift_from_prev(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Each rank receives x from rank-1 along axis_name (rank 0 gets zeros)."""
@@ -66,6 +80,8 @@ def halo_pad(
     """
     t = _pad_axis(t, s, x_axis, t.ndim - 1)
     t = _pad_axis(t, s, y_axis, t.ndim - 2)
+    if _FAULT_HOOK is not None:
+        t = _FAULT_HOOK(t)
     return t
 
 
