@@ -34,7 +34,8 @@ class HSConfig:
     dtype: str = "float32"      # compute dtype for the sweep loop
     deriv_variant: str = "hs_cube"
     backend: str = "auto"       # auto -> pallas on TPU, jnp elsewhere
-    block_sweeps: int = 1       # temporal blocking: sweeps per HBM round-trip
+    block_sweeps: int = 0       # banded temporal blocking: sweeps per HBM
+                                # round-trip (0 = auto; VMEM path always blocks maximally)
     checkpoint_every: int = 0   # 0 = never; else chunk fori_loop every K sweeps
 
     def __post_init__(self):
@@ -44,8 +45,8 @@ class HSConfig:
             raise ValueError(f"backend must be one of {BACKENDS}")
         if self.iters < 0:
             raise ValueError("iters must be >= 0")
-        if self.block_sweeps < 1:
-            raise ValueError("block_sweeps must be >= 1")
+        if self.block_sweeps < 0:
+            raise ValueError("block_sweeps must be >= 0 (0 = auto)")
 
 
 @dataclass(frozen=True)

@@ -1,30 +1,38 @@
 """Fused Pallas TPU Jacobi-sweep kernels (component N5; reference R2+R3).
 
-The reference enqueues two OpenCL kernels per iteration (neighborhood average,
-then update) with a host-side ping-pong buffer swap (SURVEY.md §3.1). On TPU
-that structure is wrong twice over: per-launch overhead n times, and a full
-HBM round-trip of u/v per half-step. Here the whole n-sweep fixed point runs
-as Pallas kernels:
+The reference enqueues two OpenCL kernels per iteration (neighborhood
+average, then update) with a host-side ping-pong swap (SURVEY.md §3.1). On
+TPU that is wrong twice over: per-launch overhead n times, and a full HBM
+round-trip of u/v per half-step. Here the fixed point runs as:
 
   * VMEM-resident path (`_sweeps_vmem`): when the padded image fits in VMEM,
-    ONE kernel launch runs all n sweeps with u/v living entirely on-chip —
-    HBM traffic for the whole solve is one read of the 6 inputs and one write
-    of the 2 outputs. This is maximal temporal blocking (SURVEY.md §3.2): the
-    arithmetic-bound regime at >100 sweeps of small/medium frames.
-  * Row-banded path (`_sweep_banded`): for frames too large for VMEM, a 1-D
-    grid over row bands; each band reads its neighbors' edge rows as halo
-    (three-view BlockSpec trick — overlapping reads are expressed as the
-    previous/current/next band of the same array). One sweep per launch,
-    n launches chained in a `lax.fori_loop`, still fully on-device.
+    ONE kernel launch runs all n sweeps with u/v living in the output refs
+    on-chip — HBM traffic for the whole solve is one read of the inputs and
+    one write of the outputs (maximal temporal blocking, SURVEY.md §3.2).
+    State lives in mutable refs, not loop carries: Mosaic round-trips SSA
+    fori_loop carries through memory every iteration (measured 40% slower),
+    so the loop body reads and rewrites the refs.
+  * Temporally-blocked banded path (`_sweeps_banded`): for frames beyond
+    VMEM, a 1-D grid over row bands; each launch runs `s` sweeps on a band
+    extended by s-row halo slabs, so HBM streams the arrays once per s
+    sweeps — the TPU analog of FPGA stencil temporal blocking (SURVEY.md
+    §2b P4, §7). Halo rows decay one ring per in-kernel sweep while the
+    owned band stays exact (same order-independence argument as the
+    distributed tiled solver).
 
-Exactness contract: both paths are bit-for-bit the math of
-`ops.stencils.jacobi_step` — the kernel body *calls that same jnp code* on
-VMEM-resident values, so kernel≡oracle holds by construction (SURVEY.md §4
-rung 4). Arbitrary H×W is handled by padding to the fp32 (8,128) VMEM tile
-grid (SURVEY.md §7 "(8,128) tiling & alignment") with an edge-replication
-invariant: the pad region always equals the replicated true edge, re-asserted
-after every sweep, which makes clamped-boundary reads at the true boundary
-exact even though the kernel computes on the padded grid.
+Boundary handling: arbitrary H x W is padded to the (8,128)/(16,128) VMEM
+tile grid, and the HS clamp boundary is applied *at the true edge* inside
+every shift — `where(glob_row == h-1, a, roll(a))` — so pad values are
+garbage that true pixels never read. This makes both paths produce the
+arithmetic of `ops.stencils.jacobi_step` exactly (same separable [1,2,1]
+association order), asserted to ~1-ulp tolerance against the jnp oracle in
+tests/unit/test_pallas_kernels.py (SURVEY.md §4 rung 4; the residual ulp is
+compile-unit FMA fusion, not formulation).
+
+Shifts use `pltpu.roll`: lane-dim rotates measured ~15% faster than
+slice+concat on v5e, and the wrapped column lands in the pad region or is
+where-fixed. The separable formulation halves lane-crossing traffic vs the
+direct 8-neighbor sum (tools/microbench_sweep*.py record the exploration).
 """
 
 from __future__ import annotations
@@ -39,80 +47,98 @@ from jax.experimental.pallas import tpu as pltpu
 
 from opticalflowhs_tpu.ops import stencils
 
-# fp32 VMEM tile is (8, 128) sublanes x lanes (pallas guide: tiling constraints).
-_SUBLANE = 8
 _LANE = 128
 
-# VMEM working-set budget for the whole-image path. v5e VMEM is large enough
-# for ~1 Mpx fp32 with all 8 operands + temporaries; measured headroom factor
-# of 14 arrays. Overridable for tuning on other TPU generations.
+# VMEM working-set budget for the whole-image path (v5e has 128 MiB VMEM;
+# leave headroom for Mosaic temporaries). Overridable for other generations.
 _VMEM_BUDGET = int(os.environ.get("HSFLOW_VMEM_BUDGET", str(100 * 1024 * 1024)))
-_VMEM_ARRAYS = 14
+_VMEM_ARRAYS = 14          # operands + temporaries headroom multiplier
+_UNROLL = int(os.environ.get("HSFLOW_SWEEP_UNROLL", "1"))
 
-# Row-band height for the banded path (multiple of the sublane tile).
 _BAND_ROWS = int(os.environ.get("HSFLOW_BAND_ROWS", "256"))
+_AUTO_BLOCK_SWEEPS = 8     # banded-path temporal blocking when cfg says auto
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pad_to_tiles(a: jnp.ndarray, rows: int, cols: int, edge: bool) -> jnp.ndarray:
-    """Pad the last two axes up to (rows, cols); edge-replicate or zero-fill."""
+def _sublane(dtype) -> int:
+    return 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+
+
+def pad_to_tiles(a: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
+    """Zero-pad the last two axes up to (rows, cols); pad content is never
+    read by true pixels (clamp is applied at the true edge in-kernel)."""
     h, w = a.shape[-2:]
     if h == rows and w == cols:
         return a
     widths = [(0, 0)] * (a.ndim - 2) + [(0, rows - h), (0, cols - w)]
-    return jnp.pad(a, widths, mode="edge" if edge else "constant")
+    return jnp.pad(a, widths)
 
 
-def _replicate_pad(x: jnp.ndarray, h: int, w: int, rows, cols) -> jnp.ndarray:
-    """Re-assert the pad-region == replicated-true-edge invariant.
+# -- kernel-side sweep math ----------------------------------------------------
 
-    `rows`/`cols` are broadcasted iota index grids of x's (padded) shape;
-    h, w are the true sizes (trace-static). Row fix first, then column fix on
-    the row-fixed value so the corner pad picks up x[h-1, w-1].
+
+def _kernel_step(u, v, ex, ey, et, invd, gr, gc, h, w):
+    """One Jacobi sweep on a (th, tw) working tile.
+
+    gr/gc: int32 global row/col index grids for the tile; h/w: true image
+    size. Same association order as ops.stencils.jacobi_step (separable
+    [1,2,1] rows then cols) => bitwise-equal results.
     """
-    hp, wp = x.shape[-2:]
-    if h < hp:
-        x = jnp.where(rows >= h, x[..., h - 1 : h, :], x)
-    if w < wp:
-        x = jnp.where(cols >= w, x[..., :, w - 1 : w], x)
-    return x
+    th, tw = u.shape
+
+    def navg(a):
+        up = jnp.where(gr == 0, a, pltpu.roll(a, shift=1, axis=0))        # a(i-1)
+        dn = jnp.where(gr == h - 1, a, pltpu.roll(a, shift=th - 1, axis=0))  # a(i+1)
+        t = up + 2.0 * a + dn
+        rt = jnp.where(gc == 0, t, pltpu.roll(t, shift=1, axis=1))        # t(j-1)
+        lf = jnp.where(gc == w - 1, t, pltpu.roll(t, shift=tw - 1, axis=1))  # t(j+1)
+        s = rt + 2.0 * t + lf
+        return s * (1.0 / 12.0) - a * (1.0 / 3.0)
+
+    ubar = navg(u)
+    vbar = navg(v)
+    frac = (ex * ubar + ey * vbar + et) * invd
+    return ubar - ex * frac, vbar - ey * frac
 
 
 # -- whole-image VMEM-resident path -------------------------------------------
 
 
-def _vmem_kernel(ex_ref, ey_ref, et_ref, invd_ref, u0_ref, v0_ref, uo_ref, vo_ref,
-                 *, n_sweeps: int, h: int, w: int):
-    ex = ex_ref[...]
-    ey = ey_ref[...]
-    et = et_ref[...]
-    invd = invd_ref[...]
+def _vmem_kernel(ex_ref, ey_ref, et_ref, invd_ref, u0_ref, v0_ref, uo_ref,
+                 vo_ref, *, n_sweeps: int, h: int, w: int):
+    ex, ey, et, invd = ex_ref[...], ey_ref[...], et_ref[...], invd_ref[...]
     hp, wp = ex.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    uo_ref[...] = u0_ref[...]
+    vo_ref[...] = v0_ref[...]
 
-    def body(_, uv):
-        u, v = stencils.jacobi_step(uv[0], uv[1], ex, ey, et, invd)
-        u = _replicate_pad(u, h, w, rows, cols)
-        v = _replicate_pad(v, h, w, rows, cols)
-        return (u, v)
+    unroll = min(_UNROLL, n_sweeps)
 
-    u, v = jax.lax.fori_loop(0, n_sweeps, body, (u0_ref[...], v0_ref[...]))
-    uo_ref[...] = u
-    vo_ref[...] = v
+    def run_block(k):
+        def body(_, x):
+            u, v = uo_ref[...], vo_ref[...]
+            for _i in range(k):
+                u, v = _kernel_step(u, v, ex, ey, et, invd, gr, gc, h, w)
+            uo_ref[...] = u
+            vo_ref[...] = v
+            return x
+        return body
+
+    n_blocks, rem = divmod(n_sweeps, unroll)
+    jax.lax.fori_loop(0, n_blocks, run_block(unroll), 0)
+    if rem:
+        run_block(rem)(0, 0)
 
 
-def _sweeps_vmem(u, v, ex, ey, et, invd, n_sweeps: int, h: int, w: int,
-                 interpret: bool):
-    hp, wp = u.shape
-    out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
-    kernel = functools.partial(_vmem_kernel, n_sweeps=n_sweeps, h=h, w=w)
+def _sweeps_vmem(u, v, ex, ey, et, invd, n_sweeps, h, w, interpret):
+    out = jax.ShapeDtypeStruct(u.shape, u.dtype)
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        kernel,
+        functools.partial(_vmem_kernel, n_sweeps=n_sweeps, h=h, w=w),
         out_shape=(out, out),
         in_specs=[spec] * 6,
         out_specs=(spec, spec),
@@ -123,79 +149,95 @@ def _sweeps_vmem(u, v, ex, ey, et, invd, n_sweeps: int, h: int, w: int,
     )(ex, ey, et, invd, u, v)
 
 
-# -- row-banded path (frames too large for VMEM) -------------------------------
+# -- temporally-blocked banded path -------------------------------------------
 
 
-def _banded_kernel(ex_ref, ey_ref, et_ref, invd_ref,
-                   u_prev, u_cur, u_next, v_prev, v_cur, v_next,
-                   uo_ref, vo_ref, *, h: int, w: int, band: int):
+def _banded_kernel(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
+                   ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
+                   et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
+                   uo_ref, vo_ref, *, s: int, band: int, h: int, w: int):
     i = pl.program_id(0)
-    nb = pl.num_programs(0)
-    wp = ex_ref.shape[-1]
 
-    def assemble(prev, cur, nxt):
-        # 1-row halo each side; at the global top/bottom the halo is the
-        # band's own edge row (replicate clamp), matching ops.stencils.
-        top = jnp.where(i == 0, cur[:1, :], prev[-1:, :])
-        bot = jnp.where(i == nb - 1, cur[-1:, :], nxt[:1, :])
-        return jnp.concatenate([top, cur, bot], axis=0)
+    def asm(band_ref, top_ref, bot_ref):
+        return jnp.concatenate([top_ref[0], band_ref[...], bot_ref[0]], axis=0)
 
-    u = assemble(u_prev[...], u_cur[...], u_next[...])
-    v = assemble(v_prev[...], v_cur[...], v_next[...])
-    # jacobi_step's clamped shifts are exact on the interior rows [1, band]
-    # that we keep; its clamping only affects the halo rows we discard.
-    un, vn = stencils.jacobi_step(
-        u, v,
-        jnp.concatenate([ex_ref[:1, :], ex_ref[...], ex_ref[-1:, :]], axis=0),
-        jnp.concatenate([ey_ref[:1, :], ey_ref[...], ey_ref[-1:, :]], axis=0),
-        jnp.concatenate([et_ref[:1, :], et_ref[...], et_ref[-1:, :]], axis=0),
-        jnp.concatenate([invd_ref[:1, :], invd_ref[...], invd_ref[-1:, :]], axis=0),
-    )
-    un = un[1 : band + 1, :]
-    vn = vn[1 : band + 1, :]
-    # Edge-replication invariant on the pad region, using global row indices.
-    rows = i * band + jax.lax.broadcasted_iota(jnp.int32, (band, wp), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (band, wp), 1)
-    hp = nb * band
-    if h < hp:
-        # The pad rows and true row h-1 share the last band (pad < band),
-        # so the in-band row index of the true edge row is static.
-        local_edge = (h - 1) % band
-        un = jnp.where(rows >= h, un[local_edge : local_edge + 1, :], un)
-        vn = jnp.where(rows >= h, vn[local_edge : local_edge + 1, :], vn)
-    if w < wp:
-        un = jnp.where(cols >= w, un[:, w - 1 : w], un)
-        vn = jnp.where(cols >= w, vn[:, w - 1 : w], vn)
-    uo_ref[...] = un
-    vo_ref[...] = vn
+    u = asm(u_ref, ut_ref, ub_ref)
+    v = asm(v_ref, vt_ref, vb_ref)
+    ex = asm(ex_ref, ext_ref, exb_ref)
+    ey = asm(ey_ref, eyt_ref, eyb_ref)
+    et = asm(et_ref, ett_ref, etb_ref)
+    invd = asm(invd_ref, invdt_ref, invdb_ref)
+
+    th, wp = u.shape  # (band + 2s, Wp)
+    local = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0)
+    gr = i * band - s + local
+    gc = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
+    for _k in range(s):
+        u, v = _kernel_step(u, v, ex, ey, et, invd, gr, gc, h, w)
+    uo_ref[...] = u[s : s + band]
+    vo_ref[...] = v[s : s + band]
 
 
-def _sweep_banded(u, v, ex, ey, et, invd, h: int, w: int, interpret: bool):
-    """One full-image Jacobi sweep via a 1-D grid over row bands."""
+def _banded_block(u, v, ex, ey, et, invd, inv_slabs, s, band, h, w, interpret):
+    """One s-sweep launch over row bands with s-row halo slabs."""
     hp, wp = u.shape
-    band = min(_BAND_ROWS, hp)
     nb = hp // band
+
+    def slabs(x):
+        b = x.reshape(nb, band, wp)
+        # top[i] = band i-1's last s rows (i=0: arbitrary — never read by
+        # true pixels, clamp fires at glob_row==0); bottom[i] likewise.
+        top = jnp.concatenate([b[:1, band - s :], b[:-1, band - s :]], axis=0)
+        bot = jnp.concatenate([b[1:, :s], b[-1:, :s]], axis=0)
+        return top, bot
+
+    ut, ub = slabs(u)
+    vt, vb = slabs(v)
+    (ext, exb), (eyt, eyb), (ett, etb), (invdt, invdb) = inv_slabs
+
+    band_spec = pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    slab_spec = pl.BlockSpec((1, s, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
-
-    def banded(idx):
-        return pl.BlockSpec((band, wp), lambda i: (idx(i), 0), memory_space=pltpu.VMEM)
-
-    cur = lambda i: i
-    prev = lambda i: jnp.maximum(i - 1, 0)
-    nxt = lambda i: jnp.minimum(i + 1, nb - 1)
-    kernel = functools.partial(_banded_kernel, h=h, w=w, band=band)
     return pl.pallas_call(
-        kernel,
+        functools.partial(_banded_kernel, s=s, band=band, h=h, w=w),
         grid=(nb,),
         out_shape=(out, out),
-        in_specs=[banded(cur)] * 4
-        + [banded(prev), banded(cur), banded(nxt)] * 2,
-        out_specs=(banded(cur), banded(cur)),
+        in_specs=[band_spec, slab_spec, slab_spec] * 6,
+        out_specs=(band_spec, band_spec),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(ex, ey, et, invd, u, u, u, v, v, v)
+    )(u, ut, ub, v, vt, vb, ex, ext, exb, ey, eyt, eyb,
+      et, ett, etb, invd, invdt, invdb)
+
+
+def _sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w, interpret):
+    hp, wp = u.shape
+    nb = hp // band
+
+    def inv_slab(x):
+        b = x.reshape(nb, band, wp)
+        return (
+            jnp.concatenate([b[:1, band - s :], b[:-1, band - s :]], axis=0),
+            jnp.concatenate([b[1:, :s], b[-1:, :s]], axis=0),
+        )
+
+    # Loop-invariant: computed once, hoisted out of the launch loop by XLA.
+    inv_slabs = tuple(inv_slab(a) for a in (ex, ey, et, invd))
+
+    def block(uv, k):
+        return _banded_block(
+            uv[0], uv[1], ex, ey, et, invd, inv_slabs, k, band, h, w, interpret
+        )
+
+    n_blocks, rem = divmod(n_sweeps, s)
+    uv = (u, v)
+    if n_blocks:
+        uv = jax.lax.fori_loop(0, n_blocks, lambda _, x: block(x, s), uv)
+    if rem:
+        uv = block(uv, rem)
+    return uv
 
 
 # -- public entry --------------------------------------------------------------
@@ -209,43 +251,39 @@ def jacobi_sweeps(
     et: jnp.ndarray,
     inv_den: jnp.ndarray,
     n_sweeps: int,
-    block_sweeps: int = 1,
+    block_sweeps: int = 0,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run n fused Jacobi sweeps on TPU; exact twin of the jnp sweep loop.
 
-    Strategy is chosen by padded-image VMEM footprint: whole-image VMEM
-    residency when it fits (one launch, all sweeps on-chip), else row-banded
-    launches chained in a fori_loop. `block_sweeps` is accepted for config
-    compatibility; the VMEM path always blocks maximally and the banded path
-    currently exchanges per sweep (s>1 banded blocking: SURVEY.md §7).
+    Strategy by padded-image VMEM footprint: whole-image VMEM residency when
+    it fits (one launch, all sweeps on-chip), else temporally-blocked row
+    bands streaming HBM once per `block_sweeps` sweeps (0 = auto -> 8).
     """
     if u.ndim != 2:
         raise ValueError(f"jacobi_sweeps expects 2-D fields, got {u.shape}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if n_sweeps == 0:
+        return u, v
     h, w = u.shape
-    hp = _round_up(h, _SUBLANE)
+    sub = _sublane(u.dtype)
     wp = _round_up(w, _LANE)
     dtype_bytes = jnp.dtype(u.dtype).itemsize
-    fits_vmem = hp * wp * dtype_bytes * _VMEM_ARRAYS <= _VMEM_BUDGET
-
-    if not fits_vmem:
-        hp = _round_up(h, min(_BAND_ROWS, _round_up(h, _SUBLANE)))
-
-    pads = dict(rows=hp, cols=wp)
-    u = pad_to_tiles(u, edge=True, **pads)
-    v = pad_to_tiles(v, edge=True, **pads)
-    ex = pad_to_tiles(ex, edge=False, **pads)
-    ey = pad_to_tiles(ey, edge=False, **pads)
-    et = pad_to_tiles(et, edge=False, **pads)
-    invd = pad_to_tiles(inv_den, edge=False, **pads)
+    hp_vmem = _round_up(h, sub)
+    fits_vmem = hp_vmem * wp * dtype_bytes * _VMEM_ARRAYS <= _VMEM_BUDGET
 
     if fits_vmem:
-        uo, vo = _sweeps_vmem(u, v, ex, ey, et, invd, n_sweeps, h, w, interpret)
+        hp = hp_vmem
     else:
-        def body(_, uv):
-            return _sweep_banded(uv[0], uv[1], ex, ey, et, invd, h, w, interpret)
+        band = _round_up(min(_BAND_ROWS, _round_up(h, sub)), sub)
+        hp = _round_up(h, band)
 
-        uo, vo = jax.lax.fori_loop(0, n_sweeps, body, (u, v))
+    args = [pad_to_tiles(a, hp, wp) for a in (u, v, ex, ey, et, inv_den)]
+    if fits_vmem:
+        uo, vo = _sweeps_vmem(*args, n_sweeps, h, w, interpret)
+    else:
+        s = block_sweeps if block_sweeps > 0 else _AUTO_BLOCK_SWEEPS
+        s = min(s, n_sweeps, band)
+        uo, vo = _sweeps_banded(*args, n_sweeps, s, band, h, w, interpret)
     return uo[:h, :w], vo[:h, :w]

@@ -67,16 +67,18 @@ def derivatives(
 
 
 def neighbor_avg(u: jnp.ndarray) -> jnp.ndarray:
-    """8-neighbor 1/6-1/12 weighted average, replicate edges (SURVEY.md §2.5 eq. A)."""
-    up = shift_down_row(u)
-    down = shift_up_row(u)
-    left = shift_right_col(u)
-    right = shift_left_col(u)
-    sixth = (up + down + left + right) * (1.0 / 6.0)
-    twelfth = (
-        shift_right_col(up) + shift_left_col(up) + shift_right_col(down) + shift_left_col(down)
-    ) * (1.0 / 12.0)
-    return sixth + twelfth
+    """8-neighbor 1/6-1/12 weighted average, replicate edges (SURVEY.md §2.5 eq. A).
+
+    Computed in separable form: the HS weight matrix equals
+    [1,2,1]x[1,2,1]/12 with the center zeroed, i.e.
+    conv_sep(u, [1,2,1], [1,2,1])/12 - u/3, which is identical under
+    replicate padding and halves the lane-crossing shifts on TPU. The
+    association order here is mirrored exactly by the Pallas kernels
+    (kernels/jacobi.py) so kernel == jnp holds bitwise.
+    """
+    t = shift_down_row(u) + 2.0 * u + shift_up_row(u)
+    s = shift_right_col(t) + 2.0 * t + shift_left_col(t)
+    return s * (1.0 / 12.0) - u * (1.0 / 3.0)
 
 
 def jacobi_step(

@@ -33,30 +33,31 @@ def _problem(h, w, seed=0):
 
 
 # Shapes chosen to hit: tile-aligned, unaligned rows, unaligned cols, both,
-# and smaller-than-one-tile.
+# and smaller-than-one-tile. Kernels mirror the oracle's association order;
+# residual diffs are single-ulp FMA-fusion artifacts of separate jits.
 @pytest.mark.parametrize("shape", [(64, 128), (37, 51), (64, 80), (129, 257), (8, 128)])
-@pytest.mark.parametrize("n", [1, 7])
+@pytest.mark.parametrize("n", [1, 7, 25])
 def test_vmem_path_matches_jnp(shape, n):
     u, v, ex, ey, et, invd = _problem(*shape)
     uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, n, interpret=True)
     ur, vr = _oracle_sweeps(u, v, ex, ey, et, invd, n)
-    np.testing.assert_allclose(uo, ur, atol=1e-6)
-    np.testing.assert_allclose(vo, vr, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(uo), np.asarray(ur), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), atol=2e-6)
 
 
 @pytest.mark.parametrize("shape", [(300, 140), (512, 128), (70, 260)])
-@pytest.mark.parametrize("n", [1, 3])
-def test_banded_path_matches_jnp(shape, n, monkeypatch):
+@pytest.mark.parametrize("n,s", [(1, 0), (3, 2), (7, 3), (6, 0)])
+def test_banded_path_matches_jnp(shape, n, s, monkeypatch):
     # Force the banded path by shrinking the VMEM budget, and use a small
-    # band height so several bands exist.
+    # band height so several bands exist; s sweeps per halo block
+    # (0 = auto), including n % s remainders.
     monkeypatch.setattr(jk, "_VMEM_BUDGET", 1)
     monkeypatch.setattr(jk, "_BAND_ROWS", 64)
     u, v, ex, ey, et, invd = _problem(*shape, seed=3)
-    uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, n, interpret=True)
+    uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, n, block_sweeps=s, interpret=True)
     ur, vr = _oracle_sweeps(u, v, ex, ey, et, invd, n)
-    np.testing.assert_allclose(uo, vr * 0 + uo, atol=0)  # shape sanity
-    np.testing.assert_allclose(uo, ur, atol=1e-6)
-    np.testing.assert_allclose(vo, vr, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(uo), np.asarray(ur), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), atol=2e-6)
 
 
 def test_band_shorter_than_image(monkeypatch):
@@ -66,8 +67,8 @@ def test_band_shorter_than_image(monkeypatch):
     u, v, ex, ey, et, invd = _problem(40, 130, seed=5)
     uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, 2, interpret=True)
     ur, vr = _oracle_sweeps(u, v, ex, ey, et, invd, 2)
-    np.testing.assert_allclose(uo, ur, atol=1e-6)
-    np.testing.assert_allclose(vo, vr, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(uo), np.asarray(ur), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), atol=2e-6)
 
 
 @pytest.mark.tpu
