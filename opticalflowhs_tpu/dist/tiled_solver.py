@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from opticalflowhs_tpu.config import HSConfig
 from opticalflowhs_tpu.dist.halo import halo_pad, replicate_global_edges, unpad
 from opticalflowhs_tpu.ops import stencils
-from opticalflowhs_tpu.solver import Flow
+from opticalflowhs_tpu.solver import Flow, resolve_backend
 
 
 def _local_sweep_block(u, v, ex, ey, et, invd, n_sweeps: int, halo: int):
@@ -58,11 +58,27 @@ def _tile_body(i1t: jnp.ndarray, i2t: jnp.ndarray, cfg: HSConfig, s: int) -> Flo
 
     u = jnp.zeros_like(i1t)
     v = jnp.zeros_like(i1t)
+    th, tw = i1t.shape
+    use_pallas = resolve_backend(cfg.backend) == "pallas"
+    if use_pallas:
+        from opticalflowhs_tpu.kernels.jacobi import tile_sweeps
+
+        h = th * lax.axis_size("y")
+        w = tw * lax.axis_size("x")
+        row0 = lax.axis_index("y") * th - s
+        col0 = lax.axis_index("x") * tw - s
 
     def block(uv, n_sweeps):
         uu = halo_pad(uv[0], s)
         vv = halo_pad(uv[1], s)
-        uu, vv = _local_sweep_block(uu, vv, ex, ey, et, invd, n_sweeps, s)
+        if use_pallas:
+            # Per-chip fused Pallas sweeps; clamp at true global edges via
+            # the tile's traced global offset (SURVEY.md §3.5 hot loop).
+            uu, vv = tile_sweeps(
+                uu, vv, ex, ey, et, invd, n_sweeps, row0, col0, h, w
+            )
+        else:
+            uu, vv = _local_sweep_block(uu, vv, ex, ey, et, invd, n_sweeps, s)
         return unpad(uu, s), unpad(vv, s)
 
     n_full, rem = divmod(cfg.iters, s)
@@ -86,6 +102,9 @@ def _tiled_impl(i1, i2, cfg: HSConfig, s: int, mesh: Mesh, batched: bool):
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=Flow(spec, spec),
+        # pallas_call outputs carry no varying-mesh-axes metadata; skip the
+        # vma check (correctness is asserted by the tiled==untiled tests).
+        check_vma=False,
     )
     return fn(i1, i2)
 

@@ -155,7 +155,7 @@ def _sweeps_vmem(u, v, ex, ey, et, invd, n_sweeps, h, w, interpret):
 def _banded_kernel(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
                    ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
                    et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
-                   uo_ref, vo_ref, *, s: int, band: int, h: int, w: int):
+                   uo_ref, vo_ref, *, s: int, halo: int, band: int, h: int, w: int):
     i = pl.program_id(0)
 
     def asm(band_ref, top_ref, bot_ref):
@@ -168,27 +168,32 @@ def _banded_kernel(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
     et = asm(et_ref, ett_ref, etb_ref)
     invd = asm(invd_ref, invdt_ref, invdb_ref)
 
-    th, wp = u.shape  # (band + 2s, Wp)
+    th, wp = u.shape  # (band + 2*halo, Wp); halo >= s (sublane-rounded)
     local = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0)
-    gr = i * band - s + local
+    gr = i * band - halo + local
     gc = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
     for _k in range(s):
         u, v = _kernel_step(u, v, ex, ey, et, invd, gr, gc, h, w)
-    uo_ref[...] = u[s : s + band]
-    vo_ref[...] = v[s : s + band]
+    uo_ref[...] = u[halo : halo + band]
+    vo_ref[...] = v[halo : halo + band]
 
 
-def _banded_block(u, v, ex, ey, et, invd, inv_slabs, s, band, h, w, interpret):
-    """One s-sweep launch over row bands with s-row halo slabs."""
+def _banded_block(u, v, ex, ey, et, invd, inv_slabs, s, halo, band, h, w,
+                  interpret):
+    """One s-sweep launch over row bands with `halo`-row halo slabs.
+
+    halo = round_up(s, sublane) so slab blocks satisfy the (8,128)/(16,128)
+    Mosaic block-shape constraint; the extra halo rows are redundant compute.
+    """
     hp, wp = u.shape
     nb = hp // band
 
     def slabs(x):
         b = x.reshape(nb, band, wp)
-        # top[i] = band i-1's last s rows (i=0: arbitrary — never read by
-        # true pixels, clamp fires at glob_row==0); bottom[i] likewise.
-        top = jnp.concatenate([b[:1, band - s :], b[:-1, band - s :]], axis=0)
-        bot = jnp.concatenate([b[1:, :s], b[-1:, :s]], axis=0)
+        # top[i] = band i-1's last `halo` rows (i=0: arbitrary — never read
+        # by true pixels, clamp fires at glob_row==0); bottom[i] likewise.
+        top = jnp.concatenate([b[:1, band - halo :], b[:-1, band - halo :]], axis=0)
+        bot = jnp.concatenate([b[1:, :halo], b[-1:, :halo]], axis=0)
         return top, bot
 
     ut, ub = slabs(u)
@@ -196,10 +201,10 @@ def _banded_block(u, v, ex, ey, et, invd, inv_slabs, s, band, h, w, interpret):
     (ext, exb), (eyt, eyb), (ett, etb), (invdt, invdb) = inv_slabs
 
     band_spec = pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    slab_spec = pl.BlockSpec((1, s, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    slab_spec = pl.BlockSpec((1, halo, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
     return pl.pallas_call(
-        functools.partial(_banded_kernel, s=s, band=band, h=h, w=w),
+        functools.partial(_banded_kernel, s=s, halo=halo, band=band, h=h, w=w),
         grid=(nb,),
         out_shape=(out, out),
         in_specs=[band_spec, slab_spec, slab_spec] * 6,
@@ -215,12 +220,13 @@ def _banded_block(u, v, ex, ey, et, invd, inv_slabs, s, band, h, w, interpret):
 def _sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w, interpret):
     hp, wp = u.shape
     nb = hp // band
+    halo = _round_up(s, _sublane(u.dtype))
 
     def inv_slab(x):
         b = x.reshape(nb, band, wp)
         return (
-            jnp.concatenate([b[:1, band - s :], b[:-1, band - s :]], axis=0),
-            jnp.concatenate([b[1:, :s], b[-1:, :s]], axis=0),
+            jnp.concatenate([b[:1, band - halo :], b[:-1, band - halo :]], axis=0),
+            jnp.concatenate([b[1:, :halo], b[-1:, :halo]], axis=0),
         )
 
     # Loop-invariant: computed once, hoisted out of the launch loop by XLA.
@@ -228,7 +234,8 @@ def _sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w, interpret):
 
     def block(uv, k):
         return _banded_block(
-            uv[0], uv[1], ex, ey, et, invd, inv_slabs, k, band, h, w, interpret
+            uv[0], uv[1], ex, ey, et, invd, inv_slabs, k, halo, band, h, w,
+            interpret,
         )
 
     n_blocks, rem = divmod(n_sweeps, s)
@@ -238,6 +245,70 @@ def _sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w, interpret):
     if rem:
         uv = block(uv, rem)
     return uv
+
+
+# -- per-shard tile kernel for the distributed tiled solver -------------------
+
+
+def _tile_kernel(r0_ref, c0_ref, ex_ref, ey_ref, et_ref, invd_ref, u0_ref,
+                 v0_ref, uo_ref, vo_ref, *, n_sweeps: int, h: int, w: int):
+    ex, ey, et, invd = ex_ref[...], ey_ref[...], et_ref[...], invd_ref[...]
+    hp, wp = ex.shape
+    gr = r0_ref[0] + jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    gc = c0_ref[0] + jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    u, v = u0_ref[...], v0_ref[...]
+    for _k in range(n_sweeps):
+        u, v = _kernel_step(u, v, ex, ey, et, invd, gr, gc, h, w)
+    uo_ref[...] = u
+    vo_ref[...] = v
+
+
+def tile_sweeps(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    et: jnp.ndarray,
+    inv_den: jnp.ndarray,
+    n_sweeps: int,
+    row0,
+    col0,
+    h: int,
+    w: int,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """n sweeps on one chip's halo-padded tile (distributed hot loop).
+
+    (row0, col0) — traced global coordinates of the tile's top-left element
+    (halo included, may be negative) — enter the kernel as SMEM scalars so
+    the HS clamp fires only at the *true global* image edges; tile-edge halo
+    rings decay one per sweep exactly as in the jnp shard body (the caller
+    guarantees halo width >= n_sweeps). Tiles are zero-padded to the VMEM
+    tile grid; pad values are never read by true pixels.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if n_sweeps == 0:
+        return u, v
+    th, tw = u.shape
+    hp = _round_up(th, _sublane(u.dtype))
+    wp = _round_up(tw, _LANE)
+    args = [pad_to_tiles(a, hp, wp) for a in (ex, ey, et, inv_den, u, v)]
+    out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    uo, vo = pl.pallas_call(
+        functools.partial(_tile_kernel, n_sweeps=n_sweeps, h=h, w=w),
+        out_shape=(out, out),
+        in_specs=[sspec, sspec] + [vspec] * 6,
+        out_specs=(vspec, vspec),
+        interpret=interpret,
+    )(
+        jnp.asarray(row0, jnp.int32).reshape(1),
+        jnp.asarray(col0, jnp.int32).reshape(1),
+        *args,
+    )
+    return uo[:th, :tw], vo[:th, :tw]
 
 
 # -- public entry --------------------------------------------------------------
@@ -284,6 +355,7 @@ def jacobi_sweeps(
         uo, vo = _sweeps_vmem(*args, n_sweeps, h, w, interpret)
     else:
         s = block_sweeps if block_sweeps > 0 else _AUTO_BLOCK_SWEEPS
-        s = min(s, n_sweeps, band)
+        s = min(s, n_sweeps, band // 2)
+        s = max(s, 1)
         uo, vo = _sweeps_banded(*args, n_sweeps, s, band, h, w, interpret)
     return uo[:h, :w], vo[:h, :w]

@@ -70,3 +70,15 @@ def test_tiled_validation_errors(pair):
         hs_solve_tiled(i1, i2, CFG)
     with pytest.raises(ValueError, match="too small"):
         hs_solve_tiled(i1, i2, CFG, mesh=mesh, halo_sweeps=100)
+
+
+@pytest.mark.parametrize("s", [1, 3])
+def test_tiled_pallas_backend_matches_untiled(pair, s):
+    """Per-shard Pallas tile kernel (interpret mode on CPU) == untiled jnp."""
+    i1, i2 = pair
+    cfg = HSConfig(alpha=0.5, iters=24, backend="pallas")
+    mesh = make_mesh(MeshConfig(batch=1, y=2, x=4))
+    f = hs_solve_tiled(i1, i2, cfg, mesh=mesh, halo_sweeps=s)
+    u, v = _untiled(i1, i2)
+    np.testing.assert_allclose(np.asarray(f.u), u, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(f.v), v, atol=2e-6)
