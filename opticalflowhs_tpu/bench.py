@@ -104,3 +104,74 @@ def run_bench(
         "pyramid": results_pyr,
         "n_devices": jax.device_count(),
     }
+
+
+def run_scaling_bench(rc=None, shape=(512, 640), repeats: int = 5) -> dict:
+    """The BASELINE metric triplet tail: frames/s at 1 and N chips.
+
+    1 chip: batched video fps (DP). N chips (when a mesh is available, e.g.
+    a pod slice or the CPU fake backend): DP-batched fps and spatially-tiled
+    weak scaling — image area scaled with chip count, efficiency =
+    T(1 tile alone) / T(N tiles together). On this machine only 1 real TPU
+    exists [SURVEY.md §0 ENV]; multi-chip rows come from a real slice.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflowhs_tpu.batch import hs_solve_batched
+    from opticalflowhs_tpu.config import MeshConfig, RunConfig
+    from opticalflowhs_tpu.dist import hs_solve_tiled, make_mesh
+    from opticalflowhs_tpu.dist.mesh import mesh_for_devices
+    from opticalflowhs_tpu.solver import hs_solve
+
+    rc = rc or RunConfig()
+    h, w = shape
+    n_dev = jax.device_count()
+    rng = np.random.default_rng(0)
+    out: dict = {"device": jax.devices()[0].device_kind, "n_devices": n_dev,
+                 "shape": [h, w], "iters": rc.hs.iters}
+
+    # fps at 1 chip: batched pairs (config 2 shape)
+    batch = 8
+    v1 = jnp.asarray(rng.uniform(0, 1, (batch, h, w)).astype(np.float32))
+    v2 = jnp.asarray(rng.uniform(0, 1, (batch, h, w)).astype(np.float32))
+    dt = _timeit(lambda a, b: hs_solve_batched(a, b, rc.hs), (v1, v2), repeats)
+    out["fps_1chip_batched"] = round(batch / dt, 2)
+
+    if n_dev > 1:
+        mesh_cfg = mesh_for_devices(n_dev)
+        mesh = make_mesh(mesh_cfg)
+        # DP scaling: batch split over every device
+        vb1 = jnp.asarray(rng.uniform(0, 1, (n_dev * 4, h, w)).astype(np.float32))
+        vb2 = jnp.asarray(rng.uniform(0, 1, (n_dev * 4, h, w)).astype(np.float32))
+        bmesh = make_mesh(MeshConfig(batch=n_dev, y=1, x=1))
+        dt_n = _timeit(
+            lambda a, b: hs_solve_batched(a, b, rc.hs, mesh=bmesh), (vb1, vb2), repeats
+        )
+        out[f"fps_{n_dev}chip_batched"] = round(vb1.shape[0] / dt_n, 2)
+        # Weak scaling: one tile-sized image alone vs N tiles tiled
+        th, tw = h, w
+        big1 = jnp.asarray(
+            rng.uniform(0, 1, (th * mesh_cfg.y, tw * mesh_cfg.x)).astype(np.float32)
+        )
+        big2 = jnp.asarray(
+            rng.uniform(0, 1, big1.shape).astype(np.float32)
+        )
+        i1 = jnp.asarray(rng.uniform(0, 1, (th, tw)).astype(np.float32))
+        i2 = jnp.asarray(rng.uniform(0, 1, (th, tw)).astype(np.float32))
+        dt_one = _timeit(lambda a, b: hs_solve(a, b, rc.hs), (i1, i2), repeats)
+        dt_tiled = _timeit(
+            lambda a, b: hs_solve_tiled(
+                a, b, rc.hs, mesh=mesh, halo_sweeps=rc.mesh.halo_sweeps or 4
+            ),
+            (big1, big2),
+            repeats,
+        )
+        out["weak_scaling"] = {
+            "mesh": list(mesh_cfg.shape),
+            "tile": [th, tw],
+            "ms_single_tile": round(dt_one * 1e3, 3),
+            "ms_tiled_full": round(dt_tiled * 1e3, 3),
+            "efficiency": round(dt_one / dt_tiled, 4),
+        }
+    return out

@@ -130,13 +130,16 @@ def _cmd_video(args, overrides):
 
 
 def _cmd_bench(args, overrides):
-    from opticalflowhs_tpu.bench import run_bench
+    from opticalflowhs_tpu.bench import run_bench, run_scaling_bench
 
     rc = _build_config(args, overrides)
     h, w = (int(t) for t in args.shape.split("x"))
-    results = run_bench(
-        rc, shape=(h, w), profile_dir=args.profile_dir, repeats=args.repeats
-    )
+    if args.scaling:
+        results = run_scaling_bench(rc, shape=(h, w), repeats=args.repeats)
+    else:
+        results = run_bench(
+            rc, shape=(h, w), profile_dir=args.profile_dir, repeats=args.repeats
+        )
     print(json.dumps(results, indent=2))
     if args.out:
         with open(args.out, "w") as f:
@@ -198,6 +201,10 @@ def main(argv=None) -> int:
     pb.add_argument("--repeats", type=int, default=10)
     pb.add_argument("--profile-dir", help="write a jax.profiler trace here")
     pb.add_argument("--out", help="write RESULTS.json here")
+    pb.add_argument(
+        "--scaling", action="store_true",
+        help="fps at 1/N chips + weak-scaling efficiency (BASELINE triplet)",
+    )
     pb.set_defaults(fn=_cmd_bench)
 
     pz = sub.add_parser("viz", help="render a .flo file")

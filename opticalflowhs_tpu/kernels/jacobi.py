@@ -55,8 +55,10 @@ _VMEM_BUDGET = int(os.environ.get("HSFLOW_VMEM_BUDGET", str(100 * 1024 * 1024)))
 _VMEM_ARRAYS = 14          # operands + temporaries headroom multiplier
 _UNROLL = int(os.environ.get("HSFLOW_SWEEP_UNROLL", "1"))
 
-_BAND_ROWS = int(os.environ.get("HSFLOW_BAND_ROWS", "256"))
-_AUTO_BLOCK_SWEEPS = 8     # banded-path temporal blocking when cfg says auto
+_BAND_ROWS = int(os.environ.get("HSFLOW_BAND_ROWS", "0"))  # 0 = auto by width
+_BAND_VMEM_BUDGET = 60 * 1024 * 1024   # per-band working set target
+_BAND_ARRAYS = 20                      # assembled fields + temporaries
+_AUTO_BLOCK_SWEEPS = 16    # banded-path temporal blocking when cfg says auto
 
 
 def _round_up(x: int, m: int) -> int:
@@ -211,6 +213,7 @@ def _banded_block(u, v, ex, ey, et, invd, inv_slabs, s, halo, band, h, w,
         out_specs=(band_spec, band_spec),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024,
         ),
         interpret=interpret,
     )(u, ut, ub, v, vt, vb, ex, ext, exb, ey, eyt, eyb,
@@ -347,7 +350,11 @@ def jacobi_sweeps(
     if fits_vmem:
         hp = hp_vmem
     else:
-        band = _round_up(min(_BAND_ROWS, _round_up(h, sub)), sub)
+        # Band height sized so the per-band working set (assembled fields +
+        # Mosaic temporaries) fits VMEM at this width.
+        auto_band = _BAND_VMEM_BUDGET // (_BAND_ARRAYS * dtype_bytes * wp)
+        band = _BAND_ROWS or max(sub * 2, min(512, auto_band))
+        band = _round_up(min(band, _round_up(h, sub)), sub)
         hp = _round_up(h, band)
 
     args = [pad_to_tiles(a, hp, wp) for a in (u, v, ex, ey, et, inv_den)]
