@@ -22,6 +22,19 @@ from opticalflowhs_tpu.solver import Flow, precompute, sweeps
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _batched_solve_impl(i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig) -> Flow:
+    from opticalflowhs_tpu.solver import resolve_backend
+
+    if resolve_backend(cfg.backend) == "pallas":
+        # Batched fused kernel: the whole stack in one (B*Hp, Wp) array so
+        # per-op dispatch cost amortizes over the batch (kernels/jacobi.py).
+        from opticalflowhs_tpu.kernels.jacobi import jacobi_sweeps_batched
+
+        ex, ey, et, inv_den = precompute(i1, i2, cfg)  # stencils batch-aware
+        u = jnp.zeros_like(ex)
+        v = jnp.zeros_like(ex)
+        uo, vo = jacobi_sweeps_batched(u, v, ex, ey, et, inv_den, cfg.iters)
+        return Flow(uo, vo)
+
     def single(a, b):
         ex, ey, et, inv_den = precompute(a, b, cfg)
         u = jnp.zeros_like(ex)

@@ -82,21 +82,28 @@ def pad_to_tiles(a: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
 # -- kernel-side sweep math ----------------------------------------------------
 
 
-def _kernel_step(u, v, ex, ey, et, invd, gr, gc, h, w):
+def _edge_masks(gr, gc, h, w):
+    """Boolean clamp masks from global row/col index grids; computed once per
+    kernel (hoisted out of the sweep loop)."""
+    return (gr == 0, gr == h - 1, gc == 0, gc == w - 1)
+
+
+def _kernel_step(u, v, ex, ey, et, invd, masks):
     """One Jacobi sweep on a (th, tw) working tile.
 
-    gr/gc: int32 global row/col index grids for the tile; h/w: true image
-    size. Same association order as ops.stencils.jacobi_step (separable
-    [1,2,1] rows then cols) => bitwise-equal results.
+    masks = (top, bottom, left, right) boolean grids marking the true image
+    edges, where the HS clamp replaces the rolled neighbor. Same association
+    order as ops.stencils.jacobi_step (separable [1,2,1] rows then cols).
     """
     th, tw = u.shape
+    m_top, m_bot, m_lf, m_rt = masks
 
     def navg(a):
-        up = jnp.where(gr == 0, a, pltpu.roll(a, shift=1, axis=0))        # a(i-1)
-        dn = jnp.where(gr == h - 1, a, pltpu.roll(a, shift=th - 1, axis=0))  # a(i+1)
+        up = jnp.where(m_top, a, pltpu.roll(a, shift=1, axis=0))          # a(i-1)
+        dn = jnp.where(m_bot, a, pltpu.roll(a, shift=th - 1, axis=0))     # a(i+1)
         t = up + 2.0 * a + dn
-        rt = jnp.where(gc == 0, t, pltpu.roll(t, shift=1, axis=1))        # t(j-1)
-        lf = jnp.where(gc == w - 1, t, pltpu.roll(t, shift=tw - 1, axis=1))  # t(j+1)
+        rt = jnp.where(m_lf, t, pltpu.roll(t, shift=1, axis=1))           # t(j-1)
+        lf = jnp.where(m_rt, t, pltpu.roll(t, shift=tw - 1, axis=1))      # t(j+1)
         s = rt + 2.0 * t + lf
         return s * (1.0 / 12.0) - a * (1.0 / 3.0)
 
@@ -110,11 +117,14 @@ def _kernel_step(u, v, ex, ey, et, invd, gr, gc, h, w):
 
 
 def _vmem_kernel(ex_ref, ey_ref, et_ref, invd_ref, u0_ref, v0_ref, uo_ref,
-                 vo_ref, *, n_sweeps: int, h: int, w: int):
+                 vo_ref, *, n_sweeps: int, h: int, w: int, img_rows: int = 0):
     ex, ey, et, invd = ex_ref[...], ey_ref[...], et_ref[...], invd_ref[...]
     hp, wp = ex.shape
     gr = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    if img_rows:  # batched stack of images along rows: clamp per image
+        gr = gr % img_rows
     gc = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    masks = _edge_masks(gr, gc, h, w)
     uo_ref[...] = u0_ref[...]
     vo_ref[...] = v0_ref[...]
 
@@ -124,7 +134,7 @@ def _vmem_kernel(ex_ref, ey_ref, et_ref, invd_ref, u0_ref, v0_ref, uo_ref,
         def body(_, x):
             u, v = uo_ref[...], vo_ref[...]
             for _i in range(k):
-                u, v = _kernel_step(u, v, ex, ey, et, invd, gr, gc, h, w)
+                u, v = _kernel_step(u, v, ex, ey, et, invd, masks)
             uo_ref[...] = u
             vo_ref[...] = v
             return x
@@ -136,11 +146,14 @@ def _vmem_kernel(ex_ref, ey_ref, et_ref, invd_ref, u0_ref, v0_ref, uo_ref,
         run_block(rem)(0, 0)
 
 
-def _sweeps_vmem(u, v, ex, ey, et, invd, n_sweeps, h, w, interpret):
+def _sweeps_vmem(u, v, ex, ey, et, invd, n_sweeps, h, w, interpret,
+                 img_rows: int = 0):
     out = jax.ShapeDtypeStruct(u.shape, u.dtype)
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_vmem_kernel, n_sweeps=n_sweeps, h=h, w=w),
+        functools.partial(
+            _vmem_kernel, n_sweeps=n_sweeps, h=h, w=w, img_rows=img_rows
+        ),
         out_shape=(out, out),
         in_specs=[spec] * 6,
         out_specs=(spec, spec),
@@ -174,8 +187,9 @@ def _banded_kernel(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
     local = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0)
     gr = i * band - halo + local
     gc = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
+    masks = _edge_masks(gr, gc, h, w)
     for _k in range(s):
-        u, v = _kernel_step(u, v, ex, ey, et, invd, gr, gc, h, w)
+        u, v = _kernel_step(u, v, ex, ey, et, invd, masks)
     uo_ref[...] = u[halo : halo + band]
     vo_ref[...] = v[halo : halo + band]
 
@@ -250,6 +264,66 @@ def _sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w, interpret):
     return uv
 
 
+# -- batched whole-image path (video / DP workloads) --------------------------
+
+
+def jacobi_sweeps_batched(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    et: jnp.ndarray,
+    inv_den: jnp.ndarray,
+    n_sweeps: int,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused sweeps for a (B, H, W) stack of independent frame pairs.
+
+    Small frames are per-op-dispatch-bound in Mosaic (~1us fixed cost per
+    full-array vector op — measured, see tools/microbench_sweep*.py), so the
+    batch is stacked into one (B*Hp, Wp) array: every vector op then covers
+    B images, amortizing the fixed cost. Clamp masks use row % Hp so each
+    image keeps its own boundary; rolls crossing image seams land in masked
+    or pad rows. VMEM chunking splits B when the stack outgrows the budget.
+    """
+    if u.ndim != 3:
+        raise ValueError(f"jacobi_sweeps_batched expects (B, H, W), got {u.shape}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, w = u.shape
+    if n_sweeps == 0 or b == 0:
+        return u, v
+    sub = _sublane(u.dtype)
+    hp = _round_up(h, sub)
+    wp = _round_up(w, _LANE)
+    dtype_bytes = jnp.dtype(u.dtype).itemsize
+    per_image = hp * wp * dtype_bytes * _VMEM_ARRAYS
+    chunk = max(1, _VMEM_BUDGET // max(per_image, 1))
+    if per_image > _VMEM_BUDGET:
+        # Frames individually beyond VMEM: banded path per image.
+        outs = [
+            jacobi_sweeps(u[k], v[k], ex[k], ey[k], et[k], inv_den[k], n_sweeps,
+                          interpret=interpret)
+            for k in range(b)
+        ]
+        return (jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs]))
+
+    args = [
+        pad_to_tiles(a, hp, wp).reshape(-1, wp)  # (B*Hp, Wp)
+        for a in (u, v, ex, ey, et, inv_den)
+    ]
+    us, vs = [], []
+    for k0 in range(0, b, chunk):
+        k1 = min(k0 + chunk, b)
+        sl = slice(k0 * hp, k1 * hp)
+        uo, vo = _sweeps_vmem(
+            *(a[sl] for a in args), n_sweeps, h, w, interpret, img_rows=hp
+        )
+        us.append(uo.reshape(-1, hp, wp)[:, :h, :w])
+        vs.append(vo.reshape(-1, hp, wp)[:, :h, :w])
+    return jnp.concatenate(us), jnp.concatenate(vs)
+
+
 # -- per-shard tile kernel for the distributed tiled solver -------------------
 
 
@@ -259,9 +333,10 @@ def _tile_kernel(r0_ref, c0_ref, ex_ref, ey_ref, et_ref, invd_ref, u0_ref,
     hp, wp = ex.shape
     gr = r0_ref[0] + jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
     gc = c0_ref[0] + jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    masks = _edge_masks(gr, gc, h, w)
     u, v = u0_ref[...], v0_ref[...]
     for _k in range(n_sweeps):
-        u, v = _kernel_step(u, v, ex, ey, et, invd, gr, gc, h, w)
+        u, v = _kernel_step(u, v, ex, ey, et, invd, masks)
     uo_ref[...] = u
     vo_ref[...] = v
 

@@ -80,3 +80,49 @@ def test_pallas_backend_on_tpu(small_translation_pair):
     fp = hs_solve(jnp.asarray(i1), jnp.asarray(i2), cfg_p)
     np.testing.assert_allclose(np.asarray(fp.u), np.asarray(fj.u), atol=1e-5)
     np.testing.assert_allclose(np.asarray(fp.v), np.asarray(fj.v), atol=1e-5)
+
+
+@pytest.mark.parametrize("b,shape", [(3, (37, 51)), (2, (64, 128)), (5, (16, 40))])
+def test_batched_kernel_matches_per_image(b, shape):
+    """(B,H,W) stacked kernel == per-image oracle loop."""
+    us, vs, urs, vrs = [], [], [], []
+    probs = [_problem(*shape, seed=10 + k) for k in range(b)]
+    u = jnp.stack([p[0] for p in probs])
+    v = jnp.stack([p[1] for p in probs])
+    ex = jnp.stack([p[2] for p in probs])
+    ey = jnp.stack([p[3] for p in probs])
+    et = jnp.stack([p[4] for p in probs])
+    invd = jnp.stack([p[5] for p in probs])
+    uo, vo = jk.jacobi_sweeps_batched(u, v, ex, ey, et, invd, 6, interpret=True)
+    assert uo.shape == (b, *shape)
+    for k in range(b):
+        ur, vr = _oracle_sweeps(*probs[k], 6)
+        np.testing.assert_allclose(np.asarray(uo[k]), np.asarray(ur), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(vo[k]), np.asarray(vr), atol=2e-6)
+
+
+def test_batched_kernel_chunking(monkeypatch):
+    """VMEM chunk splitting preserves results."""
+    # budget fits ~1 image per chunk
+    b, shape = 4, (16, 128)
+    hp, wp = 16, 128
+    monkeypatch.setattr(jk, "_VMEM_BUDGET", hp * wp * 4 * jk._VMEM_ARRAYS + 1)
+    probs = [_problem(*shape, seed=20 + k) for k in range(b)]
+    stacks = [jnp.stack([p[i] for p in probs]) for i in range(6)]
+    uo, vo = jk.jacobi_sweeps_batched(*stacks, 4, interpret=True)
+    for k in range(b):
+        ur, vr = _oracle_sweeps(*probs[k], 4)
+        np.testing.assert_allclose(np.asarray(uo[k]), np.asarray(ur), atol=2e-6)
+
+
+def test_batched_solve_pallas_backend_matches_jnp():
+    """hs_solve_batched routes pallas through the stacked kernel."""
+    from opticalflowhs_tpu.batch import hs_solve_batched
+
+    rng = np.random.default_rng(3)
+    i1 = jnp.asarray(rng.uniform(0, 1, (3, 24, 40)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (3, 24, 40)).astype(np.float32))
+    fp = hs_solve_batched(i1, i2, HSConfig(alpha=0.5, iters=10, backend="pallas"))
+    fj = hs_solve_batched(i1, i2, HSConfig(alpha=0.5, iters=10, backend="jnp"))
+    np.testing.assert_allclose(np.asarray(fp.u), np.asarray(fj.u), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(fp.v), np.asarray(fj.v), atol=2e-6)
