@@ -132,3 +132,16 @@ def test_checkpointed_requires_k(tmp_path):
     i1, i2 = _problem()
     with pytest.raises(ValueError, match="checkpoint_every"):
         hs_solve_checkpointed(i1, i2, HSConfig(iters=4), str(tmp_path / "x.npz"))
+
+
+def test_log_metrics_jsonl(tmp_path):
+    from opticalflowhs_tpu.logging_util import get_logger, log_metrics
+    import json as _json
+
+    p = str(tmp_path / "m" / "metrics.jsonl")
+    log_metrics(p, {"metric": "epe", "value": 0.03})
+    log_metrics(p, {"metric": "fps", "value": 120})
+    lines = [_json.loads(ln) for ln in open(p)]
+    assert len(lines) == 2
+    assert lines[0]["metric"] == "epe" and "ts" in lines[0]
+    assert get_logger().name == "hsflow"
