@@ -1,0 +1,47 @@
+"""Differentiability of the jnp solve path — a capability the OpenCL
+reference cannot offer: gradients flow through the whole fixed-point solve
+(lax.fori_loop with static trip count), enabling learned-prior /
+photometric-loss pipelines on top of the engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opticalflowhs_tpu.config import HSConfig
+from opticalflowhs_tpu.data.synthetic import translation_pair
+from opticalflowhs_tpu.solver import hs_solve
+
+
+def test_grad_flows_through_solver():
+    i1, i2, _ = translation_pair(16, 32, 1.0, 0.0, key=6)
+    i1 = jnp.asarray(i1)
+    i2 = jnp.asarray(i2)
+    cfg = HSConfig(alpha=0.5, iters=8, backend="jnp")
+
+    def loss(a, b):
+        f = hs_solve(a, b, cfg)
+        return jnp.mean(f.u**2) + jnp.mean(f.v**2)
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(i1, i2)
+    assert g1.shape == i1.shape
+    assert np.isfinite(np.asarray(g1)).all()
+    assert float(jnp.abs(g1).max()) > 0  # gradient actually reaches the input
+    assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_jvp_matches_finite_difference():
+    i1, i2, _ = translation_pair(12, 24, 0.5, 0.0, key=8)
+    i1 = jnp.asarray(i1)
+    i2 = jnp.asarray(i2)
+    cfg = HSConfig(alpha=0.8, iters=5, backend="jnp")
+
+    def f(a):
+        return jnp.sum(hs_solve(a, i2, cfg).u)
+
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.normal(size=i1.shape).astype(np.float32)) * 0.01
+    _, jvp = jax.jvp(f, (i1,), (d,))
+    eps = 1e-3
+    fd = (f(i1 + eps * d) - f(i1 - eps * d)) / (2 * eps)
+    # fp32 central differences carry ~1e-2 relative noise at this scale
+    np.testing.assert_allclose(float(jvp), float(fd), rtol=5e-2, atol=1e-4)
