@@ -25,7 +25,7 @@ def main():
     from opticalflowhs_tpu.config import HSConfig
     from opticalflowhs_tpu.solver import hs_solve
 
-    h, w, iters = 1024, 1280, 100
+    h, w, iters = 1088, 1920, 100  # config-4 HD streaming frame
     backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     cfg = HSConfig(alpha=0.5, iters=iters, backend=backend)
     rng = np.random.default_rng(0)
