@@ -57,10 +57,16 @@ class PyramidConfig:
     # 5-tap binomial blur [1,4,6,4,1]/16, applied separably before 2x subsample
     blur: str = "binomial5"
     iters_per_level: Tuple[int, ...] = ()  # empty -> HSConfig.iters at every level
+    # Warp lowering: "tiled" = coarse block fetch + local select loop (TPU-
+    # fast; exact for smooth flows — pyramid.py), "gather" = reference
+    # per-element XLA gather, "auto" = tiled.
+    warp: str = "auto"
 
     def __post_init__(self):
         if self.levels < 1:
             raise ValueError("levels must be >= 1")
+        if self.warp not in ("auto", "tiled", "gather"):
+            raise ValueError("warp must be auto|tiled|gather")
         if self.iters_per_level and len(self.iters_per_level) != self.levels:
             raise ValueError("iters_per_level must match levels")
 

@@ -6,10 +6,14 @@ flow bilinearly to the next level's size scaling values by the resolution
 ratio, backward-warp frame 2 by the current flow (I2w(x,y) = I2(x+u, y+v),
 clamped), solve HS on (I1, I2w) for the residual, add.
 
-TPU notes (SURVEY.md §7 hard parts): the warp is a dense 2-D gather — TPUs
-have no texture unit, so it is expressed as an XLA gather on flattened
-indices. It runs once per pyramid level (never inside the sweep loop), so
-gather cost is negligible against the Jacobi sweeps.
+TPU notes (SURVEY.md §7 hard parts): the warp is a dense 2-D gather and TPUs
+have no texture unit. XLA's per-element gather runs at scalar-fetch speed
+(62 ms for one 1080p warp on v5e — measured, tools/hw_pyramid_profile.py),
+so the default lowering is `warp_bilinear_tiled`: one coarse block fetch per
+(32, 128) tile at the tile's rounded-mean displacement + an exact local
+select loop — ~12x faster, exact for the smooth flows HS produces
+(per-tile deviation <= 4 px), clamped gracefully beyond. The reference
+scalar-gather path stays available via PyramidConfig.warp="gather".
 
 The whole pyramid is one jit region: the Python level loop unrolls into the
 XLA graph (static shapes per level — SURVEY.md §3.3).
@@ -53,8 +57,24 @@ def _blur_binomial5(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def downsample2x(img: jnp.ndarray) -> jnp.ndarray:
-    """Blur + 2x subsample. Output spatial size is ceil(size / 2)."""
-    return _blur_binomial5(img)[..., ::2, ::2]
+    """Blur + 2x subsample. Output spatial size is ceil(size / 2).
+
+    Each separable pass subsamples its own axis immediately after blurring
+    it (identical values to blur-then-subsample — the passes are
+    independent per axis), halving the second pass's work.
+    """
+    r1 = shift_down_row(img)        # i-1
+    r2 = shift_down_row(r1)         # i-2
+    r3 = shift_up_row(img)          # i+1
+    r4 = shift_up_row(r3)           # i+2
+    v = _B5[2] * img + _B5[1] * (r1 + r3) + _B5[0] * (r2 + r4)
+    v = v[..., ::2, :]
+    c1 = shift_right_col(v)
+    c2 = shift_right_col(c1)
+    c3 = shift_left_col(v)
+    c4 = shift_left_col(c3)
+    h = _B5[2] * v + _B5[1] * (c1 + c3) + _B5[0] * (c2 + c4)
+    return h[..., :, ::2]
 
 
 def gaussian_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
@@ -113,6 +133,117 @@ def warp_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     return top * (1 - wy) + bot * wy
 
 
+# -- tiled fast warp -----------------------------------------------------------
+
+# Tile geometry for warp_bilinear_tiled: one coarse block fetch per tile plus
+# an exact local-offset select loop of half-width R. Exact whenever the
+# per-tile deviation of the displacement from its rounded tile mean is <= R
+# (HS flows are globally smoothed, so this holds in practice); beyond that
+# the sampling position clamps to the reachable window.
+_WARP_TH, _WARP_TW, _WARP_R = 32, 128, 4
+
+
+def warp_bilinear_tiled(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """TPU-fast backward warp (SURVEY.md §7 'bilinear warp on TPU').
+
+    XLA's per-element gather runs at scalar-fetch speed (~60 ms for a 1080p
+    warp on v5e); this formulation replaces the 4*H*W scalar fetches with
+    (a) ONE coarse `lax.gather` of a (TH+2R+2, TW+2R+2) block per output
+    tile, displaced by the tile's rounded mean flow, and (b) an exact local
+    bilinear lookup inside the block via a static-slice select loop —
+    (2R+2)^2 fused elementwise ops, no gathers. 2-D only (vmap for batches).
+    """
+    h, w = img.shape
+    th, tw, r = _WARP_TH, _WARP_TW, _WARP_R
+    k = 2 * r + 2  # local offset range per axis
+    nh = -(-h // th)
+    nw = -(-w // tw)
+    hp, wp = nh * th, nw * tw
+
+    # Sample positions are NOT pre-clipped to the image (that would put a
+    # steep ramp into the displacement field near the edges and break the
+    # per-tile smoothness bound): instead the fetch image is edge-padded, so
+    # out-of-range samples read replicated border pixels — the exact same
+    # VALUE as position clamping. Positions are only clipped to the padded
+    # extent (margin E), beyond which everything replicates anyway.
+    e_margin = 64
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sy = jnp.clip(yy + v.astype(jnp.float32), -float(e_margin), h - 1.0 + e_margin)
+    sx = jnp.clip(xx + u.astype(jnp.float32), -float(e_margin), w - 1.0 + e_margin)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = (sy - y0).astype(img.dtype)
+    wx = (sx - x0).astype(img.dtype)
+    dy = y0 - yy  # integer-valued displacement fields (as float)
+    dx = x0 - xx
+
+    def tile4(a):
+        # edge-fill so partial tiles' means aren't polluted by padding
+        a = jnp.pad(a, ((0, hp - h), (0, wp - w)), mode="edge")
+        return a.reshape(nh, th, nw, tw).transpose(0, 2, 1, 3)  # (nh,nw,th,tw)
+
+    dy_t = tile4(dy)
+    dx_t = tile4(dx)
+    # Rounded per-tile mean displacement -> coarse block offset.
+    byt = jnp.round(dy_t.mean(axis=(2, 3))).astype(jnp.int32)  # (nh, nw)
+    bxt = jnp.round(dx_t.mean(axis=(2, 3))).astype(jnp.int32)
+
+    # Coarse fetch: block origin = tile origin + mean displacement - R. The
+    # image is edge-padded far enough that every block lies fully inside the
+    # padded array for any tile-mean target within the clipped position
+    # range [-E, size-1+E] (worst-case origin excursion: E + tile/2 + R).
+    pad = e_margin + max(th, tw) + k + 2
+    imgp = jnp.pad(img, pad, mode="edge")
+    oy = jnp.arange(nh, dtype=jnp.int32) * th
+    ox = jnp.arange(nw, dtype=jnp.int32) * tw
+    start_y = oy[:, None] + byt - r + pad  # into imgp, (nh, nw)
+    start_x = ox[None, :] + bxt - r + pad
+    starts = jnp.stack([start_y.reshape(-1), start_x.reshape(-1)], axis=-1)
+    bh, bw = th + k, tw + k
+    blocks = jax.lax.gather(
+        imgp,
+        starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
+        ),
+        slice_sizes=(bh, bw),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(nh, nw, bh, bw)
+
+    # Local integer offsets inside each block, clamped to the reachable
+    # window (exact while the within-tile deviation from the mean is <= R).
+    ay = jnp.clip(dy_t - byt[:, :, None, None] + r, 0, k - 2).astype(jnp.int32)
+    bx = jnp.clip(dx_t - bxt[:, :, None, None] + r, 0, k - 2).astype(jnp.int32)
+    code = ay * k + bx
+
+    z = jnp.zeros((nh, nw, th, tw), img.dtype)
+    p00, p01, p10, p11 = z, z, z, z
+    for a in range(k - 1):
+        for b in range(k - 1):
+            m = code == (a * k + b)
+            p00 = jnp.where(m, blocks[:, :, a : a + th, b : b + tw], p00)
+            p01 = jnp.where(m, blocks[:, :, a : a + th, b + 1 : b + 1 + tw], p01)
+            p10 = jnp.where(m, blocks[:, :, a + 1 : a + 1 + th, b : b + tw], p10)
+            p11 = jnp.where(m, blocks[:, :, a + 1 : a + 1 + th, b + 1 : b + 1 + tw], p11)
+
+    def untile(a):
+        return a.transpose(0, 2, 1, 3).reshape(hp, wp)[:h, :w]
+
+    p00, p01, p10, p11 = (untile(p) for p in (p00, p01, p10, p11))
+    top = p00 * (1 - wx) + p01 * wx
+    bot = p10 * (1 - wx) + p11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def warp(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, method: str = "auto"):
+    """Dispatch: 'tiled' (TPU-fast, exact for smooth flows), 'gather'
+    (reference scalar-gather), 'auto' = tiled for 2-D inputs."""
+    if method == "gather" or img.ndim != 2:
+        return warp_bilinear(img, u, v)
+    return warp_bilinear_tiled(img, u, v)
+
+
 # -- coarse-to-fine driver -----------------------------------------------------
 
 
@@ -133,7 +264,7 @@ def _pyramid_body(
             v = jnp.zeros_like(f1)
         else:
             flow = upsample_flow(flow, f1.shape[-2:])
-            f2w = warp_bilinear(f2, flow.u, flow.v)
+            f2w = warp(f2, flow.u, flow.v, pyr.warp)
             u = jnp.zeros_like(f1)
             v = jnp.zeros_like(f1)
         ex, ey, et, inv_den = precompute(f1, f2w, cfg)
