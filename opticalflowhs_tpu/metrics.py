@@ -55,6 +55,45 @@ def angular_error(
     return float(ang[valid].mean())
 
 
+def hs_energy(i1, i2, flow, alpha: float = 1.0, deriv_variant: str = "hs_cube",
+              axis_names=()) -> float:
+    """The Horn-Schunck objective the Jacobi iteration minimizes [HS81 eq. 6]:
+
+        E = mean( (Ex u + Ey v + Et)^2 ) + alpha^2 * mean( |grad u|^2 + |grad v|^2 )
+
+    (forward-difference gradients). Monotone non-increase over sweeps is the
+    convergence diagnostic (SURVEY.md §3.5 'psum residual'); pass mesh
+    `axis_names` to psum the sums when called on sharded tiles inside
+    shard_map.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from opticalflowhs_tpu.ops import stencils
+
+    ex, ey, et = stencils.derivatives(
+        jnp.asarray(i1, jnp.float32), jnp.asarray(i2, jnp.float32), deriv_variant
+    )
+    u = jnp.asarray(flow.u, jnp.float32)
+    v = jnp.asarray(flow.v, jnp.float32)
+
+    def total(a):
+        t = jnp.sum(a)
+        for ax in axis_names:
+            t = lax.psum(t, ax)
+        return t
+
+    data = total((ex * u + ey * v + et) ** 2)
+
+    def grad2(a):
+        gx = stencils.shift_left_col(a) - a
+        gy = stencils.shift_up_row(a) - a
+        return total(gx * gx + gy * gy)
+
+    n = total(jnp.ones_like(u))
+    return (data + alpha * alpha * (grad2(u) + grad2(v))) / n
+
+
 def interior(arr: np.ndarray, margin: int) -> np.ndarray:
     """Crop a margin off every spatial edge — used when comparing against
     analytic GT, whose boundary pixels are undefined under replicate padding."""

@@ -63,3 +63,26 @@ def test_float64_dtype_supported():
         pytest.skip("x64 disabled")
     i1, i2, _ = synthetic_pair(16, 16, WarpSpec.translation(1.0, 0.0))
     hs_solve(jnp.asarray(i1), jnp.asarray(i2), HSConfig(iters=5, dtype="float64", backend="jnp"))
+
+
+def test_hs_energy_monotone_decrease():
+    """The Jacobi iteration minimizes the HS objective: energy must be
+    non-increasing over sweeps (SURVEY.md §3.5 convergence residual)."""
+    import jax.numpy as jnp
+
+    from opticalflowhs_tpu.config import HSConfig
+    from opticalflowhs_tpu.data.synthetic import translation_pair
+    from opticalflowhs_tpu.metrics import hs_energy
+    from opticalflowhs_tpu.solver import hs_solve
+
+    i1, i2, _ = translation_pair(48, 64, 1.0, 0.5, key=17)
+    i1 = jnp.asarray(i1)
+    i2 = jnp.asarray(i2)
+    alpha = 0.5
+    energies = []
+    for iters in (0, 5, 20, 80, 200):
+        f = hs_solve(i1, i2, HSConfig(alpha=alpha, iters=iters, backend="jnp"))
+        energies.append(float(hs_energy(i1, i2, f, alpha=alpha)))
+    for a, b in zip(energies, energies[1:]):
+        assert b <= a + 1e-7, energies
+    assert energies[-1] < 0.5 * energies[0], energies
