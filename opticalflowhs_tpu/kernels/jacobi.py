@@ -88,6 +88,30 @@ def _edge_masks(gr, gc, h, w):
     return (gr == 0, gr == h - 1, gc == 0, gc == w - 1)
 
 
+def _shift(a, shift: int, axis: int):
+    """Circular-ish shift: pltpu.roll where Mosaic supports it (fp32);
+    bf16 roll fails to lower (measured, tools/hw_bf16_diag.py), so bf16
+    uses clamped slice+concat — the boundary rows/cols differ from a true
+    roll but every such position is overridden by the edge masks or lies
+    in discardable halo/pad regions."""
+    if a.dtype == jnp.bfloat16:
+        n = a.shape[axis]
+        shift = shift % n
+        if shift == 0:
+            return a
+        lo = [slice(None)] * a.ndim
+        hi = [slice(None)] * a.ndim
+        if shift == 1:  # out[i] = a[i-1], clamp at 0
+            lo[axis] = slice(0, 1)
+            hi[axis] = slice(0, n - 1)
+        else:  # shift == n-1: out[i] = a[i+1], clamp at n-1
+            lo[axis] = slice(1, None)
+            hi[axis] = slice(n - 1, n)
+            return jnp.concatenate([a[tuple(lo)], a[tuple(hi)]], axis=axis)
+        return jnp.concatenate([a[tuple(lo)], a[tuple(hi)]], axis=axis)
+    return pltpu.roll(a, shift=shift, axis=axis)
+
+
 def _kernel_step(u, v, ex, ey, et, invd, masks):
     """One Jacobi sweep on a (th, tw) working tile.
 
@@ -99,11 +123,11 @@ def _kernel_step(u, v, ex, ey, et, invd, masks):
     m_top, m_bot, m_lf, m_rt = masks
 
     def navg(a):
-        up = jnp.where(m_top, a, pltpu.roll(a, shift=1, axis=0))          # a(i-1)
-        dn = jnp.where(m_bot, a, pltpu.roll(a, shift=th - 1, axis=0))     # a(i+1)
+        up = jnp.where(m_top, a, _shift(a, 1, 0))          # a(i-1)
+        dn = jnp.where(m_bot, a, _shift(a, th - 1, 0))     # a(i+1)
         t = up + 2.0 * a + dn
-        rt = jnp.where(m_lf, t, pltpu.roll(t, shift=1, axis=1))           # t(j-1)
-        lf = jnp.where(m_rt, t, pltpu.roll(t, shift=tw - 1, axis=1))      # t(j+1)
+        rt = jnp.where(m_lf, t, _shift(t, 1, 1))           # t(j-1)
+        lf = jnp.where(m_rt, t, _shift(t, tw - 1, 1))      # t(j+1)
         s = rt + 2.0 * t + lf
         return s * (1.0 / 12.0) - a * (1.0 / 3.0)
 
