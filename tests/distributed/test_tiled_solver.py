@@ -82,3 +82,17 @@ def test_tiled_pallas_backend_matches_untiled(pair, s):
     u, v = _untiled(i1, i2)
     np.testing.assert_allclose(np.asarray(f.u), u, atol=2e-6)
     np.testing.assert_allclose(np.asarray(f.v), v, atol=2e-6)
+
+
+def test_batched_tiled_pallas_composition(pair):
+    """DP x TP x per-shard Pallas tile kernel (vmap over shard_map over
+    pallas_call) == untiled jnp."""
+    i1, i2 = pair
+    b1 = jnp.stack([i1, i2])
+    b2 = jnp.stack([i2, i1])
+    cfg = HSConfig(alpha=0.5, iters=12, backend="pallas")
+    mesh = make_mesh(MeshConfig(batch=2, y=2, x=2))
+    f = hs_solve_tiled(b1, b2, cfg, mesh=mesh, halo_sweeps=2)
+    for k in range(2):
+        ref = hs_solve(b1[k], b2[k], HSConfig(alpha=0.5, iters=12, backend="jnp"))
+        np.testing.assert_allclose(np.asarray(f.u[k]), np.asarray(ref.u), atol=2e-6)
