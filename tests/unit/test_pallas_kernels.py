@@ -73,7 +73,7 @@ def test_band_shorter_than_image(monkeypatch):
 
 @pytest.mark.tpu
 def test_pallas_backend_on_tpu(small_translation_pair):
-    i1, i2, gt_u, gt_v = small_translation_pair
+    i1, i2, _ = small_translation_pair
     cfg_j = HSConfig(alpha=0.5, iters=64, backend="jnp")
     cfg_p = HSConfig(alpha=0.5, iters=64, backend="pallas")
     fj = hs_solve(jnp.asarray(i1), jnp.asarray(i2), cfg_j)
