@@ -82,52 +82,69 @@ def pad_to_tiles(a: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
 # -- kernel-side sweep math ----------------------------------------------------
 
 
-def _edge_masks(gr, gc, h, w):
+def _edge_masks(gr, gc, h, w, aligned=(False, False, False, False)):
     """Boolean clamp masks from global row/col index grids; computed once per
-    kernel (hoisted out of the sweep loop)."""
-    return (gr == 0, gr == h - 1, gc == 0, gc == w - 1)
+    kernel (hoisted out of the sweep loop). `aligned` marks sides whose true
+    edge coincides with the working array's edge — those get None and the
+    kernel uses a clamped concat shift instead of roll+where."""
+    return (
+        None if aligned[0] else gr == 0,
+        None if aligned[1] else gr == h - 1,
+        None if aligned[2] else gc == 0,
+        None if aligned[3] else gc == w - 1,
+    )
+
+
+def _cshift(a, shift: int, axis: int):
+    """Clamped slice+concat shift: shift==1 -> out[i]=a[i-1] (clamp at 0),
+    shift==n-1 -> out[i]=a[i+1] (clamp at n-1)."""
+    n = a.shape[axis]
+    lo = [slice(None)] * a.ndim
+    hi = [slice(None)] * a.ndim
+    if shift == 1:
+        lo[axis] = slice(0, 1)
+        hi[axis] = slice(0, n - 1)
+    else:
+        assert shift == n - 1, shift
+        lo[axis] = slice(1, None)
+        hi[axis] = slice(n - 1, n)
+    return jnp.concatenate([a[tuple(lo)], a[tuple(hi)]], axis=axis)
 
 
 def _shift(a, shift: int, axis: int):
-    """Circular-ish shift: pltpu.roll where Mosaic supports it (fp32);
-    bf16 roll fails to lower (measured, tools/hw_bf16_diag.py), so bf16
-    uses clamped slice+concat — the boundary rows/cols differ from a true
-    roll but every such position is overridden by the edge masks or lies
-    in discardable halo/pad regions."""
+    """Rotate: pltpu.roll where Mosaic supports it; bf16 roll fails to lower
+    (measured, tools/hw_bf16_diag.py) so bf16 uses the clamped concat shift
+    — the boundary rows/cols differ from a true roll only where the edge
+    masks override them or in discardable halo/pad regions."""
     if a.dtype == jnp.bfloat16:
-        n = a.shape[axis]
-        shift = shift % n
-        if shift == 0:
-            return a
-        lo = [slice(None)] * a.ndim
-        hi = [slice(None)] * a.ndim
-        if shift == 1:  # out[i] = a[i-1], clamp at 0
-            lo[axis] = slice(0, 1)
-            hi[axis] = slice(0, n - 1)
-        else:  # shift == n-1: out[i] = a[i+1], clamp at n-1
-            lo[axis] = slice(1, None)
-            hi[axis] = slice(n - 1, n)
-            return jnp.concatenate([a[tuple(lo)], a[tuple(hi)]], axis=axis)
-        return jnp.concatenate([a[tuple(lo)], a[tuple(hi)]], axis=axis)
+        return _cshift(a, shift, axis)
     return pltpu.roll(a, shift=shift, axis=axis)
 
 
 def _kernel_step(u, v, ex, ey, et, invd, masks):
     """One Jacobi sweep on a (th, tw) working tile.
 
-    masks = (top, bottom, left, right) boolean grids marking the true image
-    edges, where the HS clamp replaces the rolled neighbor. Same association
-    order as ops.stencils.jacobi_step (separable [1,2,1] rows then cols).
+    masks = (top, bottom, left, right): boolean grids marking the true image
+    edges where the HS clamp replaces the rolled neighbor — or None when
+    that true edge coincides with the array edge, in which case a clamped
+    concat shift implements the boundary in ONE op instead of roll+where
+    (the kernels are per-op-dispatch-bound; docs/PERFORMANCE.md). Same
+    association order as ops.stencils.jacobi_step.
     """
     th, tw = u.shape
     m_top, m_bot, m_lf, m_rt = masks
 
+    def sh(a, m, shift, axis):
+        if m is None:
+            return _cshift(a, shift, axis)
+        return jnp.where(m, a, _shift(a, shift, axis))
+
     def navg(a):
-        up = jnp.where(m_top, a, _shift(a, 1, 0))          # a(i-1)
-        dn = jnp.where(m_bot, a, _shift(a, th - 1, 0))     # a(i+1)
+        up = sh(a, m_top, 1, 0)            # a(i-1)
+        dn = sh(a, m_bot, th - 1, 0)       # a(i+1)
         t = up + 2.0 * a + dn
-        rt = jnp.where(m_lf, t, _shift(t, 1, 1))           # t(j-1)
-        lf = jnp.where(m_rt, t, _shift(t, tw - 1, 1))      # t(j+1)
+        rt = sh(t, m_lf, 1, 1)             # t(j-1)
+        lf = sh(t, m_rt, tw - 1, 1)        # t(j+1)
         s = rt + 2.0 * t + lf
         return s * (1.0 / 12.0) - a * (1.0 / 3.0)
 
@@ -148,7 +165,13 @@ def _vmem_kernel(ex_ref, ey_ref, et_ref, invd_ref, u0_ref, v0_ref, uo_ref,
     if img_rows:  # batched stack of images along rows: clamp per image
         gr = gr % img_rows
     gc = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-    masks = _edge_masks(gr, gc, h, w)
+    aligned = (
+        not img_rows,                      # array row 0 is the true top
+        not img_rows and h == hp,          # no bottom pad
+        True,                              # array col 0 is the true left
+        w == wp,                           # no right pad
+    )
+    masks = _edge_masks(gr, gc, h, w, aligned)
     uo_ref[...] = u0_ref[...]
     vo_ref[...] = v0_ref[...]
 
@@ -211,7 +234,9 @@ def _banded_kernel(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
     local = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0)
     gr = i * band - halo + local
     gc = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
-    masks = _edge_masks(gr, gc, h, w)
+    # rows cross band halos -> masks; col 0 is the true left edge, and the
+    # right edge coincides when the width needed no lane padding.
+    masks = _edge_masks(gr, gc, h, w, (False, False, True, w == wp))
     for _k in range(s):
         u, v = _kernel_step(u, v, ex, ey, et, invd, masks)
     uo_ref[...] = u[halo : halo + band]
