@@ -126,3 +126,17 @@ def test_batched_solve_pallas_backend_matches_jnp():
     fj = hs_solve_batched(i1, i2, HSConfig(alpha=0.5, iters=10, backend="jnp"))
     np.testing.assert_allclose(np.asarray(fp.u), np.asarray(fj.u), atol=2e-6)
     np.testing.assert_allclose(np.asarray(fp.v), np.asarray(fj.v), atol=2e-6)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_random_shapes_vs_oracle(seed):
+    """Randomized shapes/sweep counts across both kernel paths vs oracle."""
+    rng = np.random.default_rng(100 + seed)
+    h = int(rng.integers(9, 200))
+    w = int(rng.integers(17, 300))
+    n = int(rng.integers(1, 12))
+    u, v, ex, ey, et, invd = _problem(h, w, seed=200 + seed)
+    uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, n, interpret=True)
+    ur, vr = _oracle_sweeps(u, v, ex, ey, et, invd, n)
+    np.testing.assert_allclose(np.asarray(uo), np.asarray(ur), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), atol=2e-6)
