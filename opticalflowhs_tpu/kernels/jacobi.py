@@ -52,7 +52,8 @@ _LANE = 128
 # VMEM working-set budget for the whole-image path (v5e has 128 MiB VMEM;
 # leave headroom for Mosaic temporaries). Overridable for other generations.
 _VMEM_BUDGET = int(os.environ.get("HSFLOW_VMEM_BUDGET", str(100 * 1024 * 1024)))
-_VMEM_ARRAYS = 14          # operands + temporaries headroom multiplier
+_VMEM_ARRAYS = 17          # operands + temporaries headroom (measured: a
+                           # 2-image 720p chunk needs ~15.5 arrays of VMEM)
 _UNROLL = int(os.environ.get("HSFLOW_SWEEP_UNROLL", "1"))
 
 _BAND_ROWS = int(os.environ.get("HSFLOW_BAND_ROWS", "0"))  # 0 = auto by width
