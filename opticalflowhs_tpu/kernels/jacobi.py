@@ -57,6 +57,8 @@ _VMEM_ARRAYS = 17          # operands + temporaries headroom (measured: a
 _UNROLL = int(os.environ.get("HSFLOW_SWEEP_UNROLL", "1"))
 
 _BAND_ROWS = int(os.environ.get("HSFLOW_BAND_ROWS", "0"))  # 0 = auto by width
+_BATCH_STACK_PX = 1_300_000     # max stacked pixels per batched-VMEM chunk
+_BATCH_IMG_BYTES = 2_400_000    # frames above ~0.6 Mpx fp32: banded per image
 _BAND_VMEM_BUDGET = 60 * 1024 * 1024   # per-band working set target
 _BAND_ARRAYS = 20                      # assembled fields + temporaries
 _AUTO_BLOCK_SWEEPS = 16    # banded-path temporal blocking when cfg says auto
@@ -348,9 +350,15 @@ def jacobi_sweeps_batched(
     wp = _round_up(w, _LANE)
     dtype_bytes = jnp.dtype(u.dtype).itemsize
     per_image = hp * wp * dtype_bytes * _VMEM_ARRAYS
-    chunk = max(1, _VMEM_BUDGET // max(per_image, 1))
-    if per_image > _VMEM_BUDGET:
-        # Frames individually beyond VMEM: banded path per image.
+    # XLA charges the kernel's scoped-VMEM against whatever the SURROUNDING
+    # program already keeps in VMEM, so inside a large batched jit the
+    # effective limit is smaller than standalone (measured: a lone 720p
+    # stack OOMs inside an 8x720p program). Stay conservative: stacked-VMEM
+    # only for small frames, and cap the stack height; larger frames take
+    # the banded path per image (nearly as fast at that size).
+    chunk = max(1, min(_VMEM_BUDGET // max(per_image, 1),
+                       _BATCH_STACK_PX // max(hp * wp, 1)))
+    if hp * wp * dtype_bytes > _BATCH_IMG_BYTES:
         outs = [
             jacobi_sweeps(u[k], v[k], ex[k], ey[k], et[k], inv_den[k], n_sweeps,
                           interpret=interpret)
