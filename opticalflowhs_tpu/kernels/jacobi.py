@@ -359,11 +359,17 @@ def jacobi_sweeps_batched(
     chunk = max(1, min(_VMEM_BUDGET // max(per_image, 1),
                        _BATCH_STACK_PX // max(hp * wp, 1)))
     if hp * wp * dtype_bytes > _BATCH_IMG_BYTES:
-        outs = [
-            jacobi_sweeps(u[k], v[k], ex[k], ey[k], et[k], inv_den[k], n_sweeps,
-                          interpret=interpret)
-            for k in range(b)
-        ]
+        outs = []
+        for k in range(b):
+            # optimization_barrier: XLA must not fuse the pallas custom-call
+            # with the surrounding slicing/stacking — a fused kCustom op
+            # loses the kernel's vmem_limit override and trips the default
+            # ~19.5 MB scoped-vmem limit (measured on 8x720p batches).
+            args = jax.lax.optimization_barrier(
+                (u[k], v[k], ex[k], ey[k], et[k], inv_den[k])
+            )
+            o = jacobi_sweeps(*args, n_sweeps, interpret=interpret)
+            outs.append(jax.lax.optimization_barrier(o))
         return (jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs]))
 
     args = [
