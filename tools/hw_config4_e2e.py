@@ -34,7 +34,7 @@ for chunk in flow_stream(native.stream_frames(paths, n_threads=4, prefetch=12), 
     mean_u += float(jnp.sum(jnp.mean(chunk.u, axis=(1, 2))))
 dt = time.perf_counter() - t0
 print(f'config4 e2e: {n_pairs} pairs of 720p in {dt:.2f}s = {n_pairs/dt:.1f} fps '
-      f'(decode+H2D+solve), mean u = {mean_u/n_pairs:+.3f} (true -1.0)', flush=True)
+      f'(decode+H2D+solve), mean u = {mean_u/n_pairs:+.3f} (true +1.0)', flush=True)
 
 # profiler validation
 prof_dir = '/tmp/hsflow_trace'
