@@ -1,8 +1,8 @@
 """Driver benchmark: Jacobi sweep throughput on one chip.
 
 Prints ONE JSON line. Headline metric: fused-sweep throughput in Gpx*sweeps/s
-per chip on a 1024x1280 frame, 100 iterations (the BASELINE.md "Jacobi sweep
-throughput" row). vs_baseline is the fraction of the fp32 HBM-roofline
+per chip on a 1088x1920 (config-4 HD) frame, 100 iterations (the BASELINE.md
+"Jacobi sweep throughput" row). vs_baseline is the fraction of the fp32 HBM-roofline
 speed-of-light target (~29 Gpx/s on TPU v5e, SURVEY.md §6) — the reference
 publishes no numbers of its own (BASELINE.json "published": {}).
 

@@ -152,7 +152,22 @@ extern "C" {
 
 // ---- one-shot decode --------------------------------------------------------
 
-// Returns 0 on success. Queries dimensions only when out == nullptr.
+// Header-only probe: parses PNM dimensions without decoding pixels.
+int hsio_probe(const char* path, int* w, int* h) {
+  std::vector<unsigned char> d;
+  if (!read_file(path, d)) return -1;  // (reads the file; header parse only)
+  std::string magic;
+  long v[3];
+  size_t off;
+  if (!pnm_header(d, magic, v, off)) return -2;
+  if (v[0] <= 0 || v[1] <= 0) return -2;
+  *w = static_cast<int>(v[0]);
+  *h = static_cast<int>(v[1]);
+  return 0;
+}
+
+// Returns 0 on success. Queries dimensions only when out == nullptr (full
+// decode still runs; use hsio_probe for a cheap dimension query).
 int hsio_load_gray(const char* path, float* out, int* w, int* h) {
   std::vector<unsigned char> d;
   if (!read_file(path, d)) return -1;
@@ -230,7 +245,10 @@ struct hsio_loader {
       bool ok = read_file(paths[idx].c_str(), d) && decode_pnm(d, img);
       {
         std::lock_guard<std::mutex> lk(mu);
-        if (!ok) error = -2;
+        if (!ok) {
+          error = -2;
+          img = Image();  // decode_pnm may have partially filled it
+        }
         done.emplace_back(idx, std::move(img));
         cv_consumer.notify_all();
       }
@@ -249,32 +267,48 @@ hsio_loader* hsio_loader_open(const char** paths, int n_paths, int n_threads,
 }
 
 // Blocks until frame `next_emit` is decoded; returns 0 and fills out/w/h.
-// Returns 1 when the stream is exhausted, <0 on decode error.
-int hsio_loader_next(hsio_loader* L, float* out, int* w, int* h) {
+// Returns 1 when the stream is exhausted, -4 if the frame exceeds
+// capacity_px (out untouched, w/h filled), <0 on decode error. A decode
+// error on a prefetched-ahead frame is only reported once the stream
+// actually reaches it — earlier frames that decoded fine are delivered.
+int hsio_loader_next(hsio_loader* L, float* out, int* w, int* h,
+                     long capacity_px) {
   std::unique_lock<std::mutex> lk(L->mu);
   if (L->next_emit >= L->paths.size()) return 1;
   size_t want = L->next_emit;
+  // Workers always emplace an entry for every submitted frame (empty on
+  // decode failure), so waiting on presence alone cannot deadlock and a
+  // sticky error flag never skips frames that are still in flight.
   L->cv_consumer.wait(lk, [&] {
-    if (L->error) return true;
     for (auto& kv : L->done)
       if (kv.first == want) return true;
     return false;
   });
-  if (L->error) return L->error.load();
   for (auto it = L->done.begin(); it != L->done.end(); ++it) {
     if (it->first == want) {
       *w = it->second.w;
       *h = it->second.h;
-      if (out)
-        std::memcpy(out, it->second.px.data(),
-                    it->second.px.size() * sizeof(float));
+      const size_t n = it->second.px.size();
+      if (it->second.w <= 0 || it->second.h <= 0 ||
+          n != static_cast<size_t>(it->second.w) * it->second.h) {
+        // decode of THIS frame failed (empty/partial px): consume + report
+        L->done.erase(it);
+        ++L->next_emit;
+        L->cv_worker.notify_all();
+        return L->error ? L->error.load() : -2;
+      }
+      if (static_cast<long>(n) > capacity_px) {
+        // caller buffer too small: report dims, keep the frame for retry
+        return -4;
+      }
+      if (out) std::memcpy(out, it->second.px.data(), n * sizeof(float));
       L->done.erase(it);
-      break;
+      ++L->next_emit;
+      L->cv_worker.notify_all();
+      return 0;
     }
   }
-  ++L->next_emit;
-  L->cv_worker.notify_all();
-  return 0;
+  return -5;  // unreachable: the wait guarantees `want` is present
 }
 
 void hsio_loader_close(hsio_loader* L) {

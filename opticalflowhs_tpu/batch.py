@@ -20,11 +20,18 @@ from opticalflowhs_tpu.pyramid import _pyramid_body
 from opticalflowhs_tpu.solver import Flow, precompute, sweeps
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _batched_solve_impl(i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig) -> Flow:
+@partial(jax.jit, static_argnames=("cfg", "stacked_ok"))
+def _batched_solve_impl(
+    i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig, stacked_ok: bool = True
+) -> Flow:
     from opticalflowhs_tpu.solver import resolve_backend
 
-    if resolve_backend(cfg.backend) == "pallas":
+    # The stacked kernel flattens the batch into one (B*Hp, Wp) array with
+    # VMEM-derived chunk boundaries — correct on one device, but it would
+    # defeat a P("batch") mesh sharding (GSPMD would gather the whole batch
+    # per chunk). Mesh-sharded stacks take the vmap path, which GSPMD splits
+    # per chip with zero collectives.
+    if stacked_ok and resolve_backend(cfg.backend) == "pallas":
         # Batched fused kernel: the whole stack in one (B*Hp, Wp) array so
         # per-op dispatch cost amortizes over the batch (kernels/jacobi.py).
         from opticalflowhs_tpu.kernels.jacobi import jacobi_sweeps_batched
@@ -70,7 +77,7 @@ def hs_solve_batched(
         i2 = jax.device_put(i2, sharding)
     if pyr is not None and pyr.levels > 1:
         return _batched_pyramid_impl(i1, i2, cfg, pyr)
-    return _batched_solve_impl(i1, i2, cfg)
+    return _batched_solve_impl(i1, i2, cfg, stacked_ok=mesh is None)
 
 
 def video_pairs(frames: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -162,7 +162,7 @@ def run_scaling_bench(rc=None, shape=(512, 640), repeats: int = 5) -> dict:
         dt_one = _timeit(lambda a, b: hs_solve(a, b, rc.hs), (i1, i2), repeats)
         dt_tiled = _timeit(
             lambda a, b: hs_solve_tiled(
-                a, b, rc.hs, mesh=mesh, halo_sweeps=rc.mesh.halo_sweeps or 4
+                a, b, rc.hs, mesh=mesh, halo_sweeps=rc.mesh.halo_sweeps
             ),
             (big1, big2),
             repeats,

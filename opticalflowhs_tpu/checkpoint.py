@@ -17,7 +17,6 @@ data-parallelism so resume tolerates a different mesh (SURVEY.md §5.3).
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import tempfile
 from typing import Optional
@@ -25,15 +24,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from opticalflowhs_tpu.config import HSConfig
+from opticalflowhs_tpu.config import HSConfig, config_hash as _cfg_hash
 from opticalflowhs_tpu.solver import Flow, hs_solve
-
-
-def _cfg_hash(cfg: HSConfig) -> str:
-    import hashlib
-
-    blob = json.dumps(dataclasses.asdict(cfg), sort_keys=True).encode()
-    return hashlib.sha256(blob).hexdigest()[:16]
 
 
 def save_state(path: str, flow: Flow, sweeps_done: int, cfg: HSConfig) -> None:

@@ -105,8 +105,18 @@ def _cmd_video(args, overrides):
             for p in os.listdir(args.frames)
             if p.lower().endswith((".png", ".jpg", ".jpeg", ".pgm", ".ppm", ".bmp"))
         )
-        frames = (load_gray(p) for p in paths)
         n_frames = len(paths)
+        # PNM directories go through the libhsio threaded prefetch loader
+        # (decode overlaps the solve — pipeline stage P6); other formats
+        # fall back to synchronous Python decode.
+        from opticalflowhs_tpu.io import native
+
+        if all(p.lower().endswith((".pgm", ".ppm", ".pnm")) for p in paths) and (
+            native.build() and native.available()
+        ):
+            frames = native.stream_frames(paths, n_threads=4, prefetch=2 * args.chunk)
+        else:
+            frames = (load_gray(p) for p in paths)
     else:
         raise SystemExit(f"{args.frames}: expected a directory of frames")
     os.makedirs(args.output, exist_ok=True)

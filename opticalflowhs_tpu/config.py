@@ -154,8 +154,9 @@ def load_config(path: str | None = None, overrides: dict[str, Any] | None = None
     )
 
 
-def config_hash(cfg: RunConfig) -> str:
-    """Stable short hash of a config, used to tag checkpoints (SURVEY.md §5.4)."""
+def config_hash(cfg) -> str:
+    """Stable short hash of any config dataclass (RunConfig, HSConfig, ...);
+    tags checkpoints (SURVEY.md §5.4)."""
     import hashlib
 
     blob = json.dumps(dataclasses.asdict(cfg), sort_keys=True).encode()

@@ -50,6 +50,7 @@ def _load() -> Optional[ctypes.CDLL]:
     fp = ctypes.POINTER(ctypes.c_float)
     ip = ctypes.POINTER(ctypes.c_int)
     lib.hsio_load_gray.argtypes = [ctypes.c_char_p, fp, ip, ip]
+    lib.hsio_probe.argtypes = [ctypes.c_char_p, ip, ip]
     lib.hsio_read_flo.argtypes = [ctypes.c_char_p, fp, ip, ip]
     lib.hsio_write_flo.argtypes = [ctypes.c_char_p, fp, ctypes.c_int, ctypes.c_int]
     lib.hsio_loader_open.restype = ctypes.c_void_p
@@ -59,7 +60,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.c_int,
     ]
-    lib.hsio_loader_next.argtypes = [ctypes.c_void_p, fp, ip, ip]
+    lib.hsio_loader_next.argtypes = [ctypes.c_void_p, fp, ip, ip, ctypes.c_long]
     lib.hsio_loader_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
@@ -83,9 +84,9 @@ def load_gray(path: str) -> np.ndarray:
         return py_load(path)
     w = ctypes.c_int()
     h = ctypes.c_int()
-    rc = lib.hsio_load_gray(path.encode(), None, ctypes.byref(w), ctypes.byref(h))
+    rc = lib.hsio_probe(path.encode(), ctypes.byref(w), ctypes.byref(h))
     if rc != 0:
-        raise IOError(f"hsio_load_gray({path}) failed with {rc}")
+        raise IOError(f"hsio_probe({path}) failed with {rc}")
     out = np.empty((h.value, w.value), dtype=np.float32)
     rc = lib.hsio_load_gray(path.encode(), _fp(out), ctypes.byref(w), ctypes.byref(h))
     if rc != 0:
@@ -152,17 +153,24 @@ def stream_frames(
             return
         w = ctypes.c_int()
         h = ctypes.c_int()
-        # Header-only dimension probe (out=None reads no pixel data).
-        rc = lib.hsio_load_gray(paths[0].encode(), None, ctypes.byref(w), ctypes.byref(h))
+        # Header-only dimension probe sizes the reusable buffer; a later
+        # larger frame is reported by the library (-4) and the buffer grows.
+        rc = lib.hsio_probe(paths[0].encode(), ctypes.byref(w), ctypes.byref(h))
         if rc != 0:
-            raise IOError(f"hsio_load_gray({paths[0]}) failed with {rc}")
+            raise IOError(f"hsio_probe({paths[0]}) failed with {rc}")
         out = np.empty((h.value, w.value), dtype=np.float32)
         while True:
-            rc = lib.hsio_loader_next(handle, _fp(out), ctypes.byref(w), ctypes.byref(h))
+            rc = lib.hsio_loader_next(
+                handle, _fp(out), ctypes.byref(w), ctypes.byref(h), out.size
+            )
             if rc == 1:
                 return
+            if rc == -4:  # frame larger than the buffer: grow and retry
+                out = np.empty((h.value, w.value), dtype=np.float32)
+                continue
             if rc != 0:
                 raise IOError(f"hsio_loader_next failed with {rc}")
-            yield out.copy()
+            n = h.value * w.value
+            yield out.reshape(-1)[:n].reshape(h.value, w.value).copy()
     finally:
         lib.hsio_loader_close(handle)

@@ -41,21 +41,6 @@ from opticalflowhs_tpu.solver import Flow, precompute, sweeps
 _B5 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
-def _blur_binomial5(img: jnp.ndarray) -> jnp.ndarray:
-    """[1,4,6,4,1]/16 separable blur with replicate edges, as shift-adds
-    (fuses into one elementwise kernel; no conv dispatch needed for 5 taps)."""
-    r1 = shift_down_row(img)        # i-1
-    r2 = shift_down_row(r1)         # i-2
-    r3 = shift_up_row(img)          # i+1
-    r4 = shift_up_row(r3)           # i+2
-    v = _B5[2] * img + _B5[1] * (r1 + r3) + _B5[0] * (r2 + r4)
-    c1 = shift_right_col(v)
-    c2 = shift_right_col(c1)
-    c3 = shift_left_col(v)
-    c4 = shift_left_col(c3)
-    return _B5[2] * v + _B5[1] * (c1 + c3) + _B5[0] * (c2 + c4)
-
-
 def downsample2x(img: jnp.ndarray) -> jnp.ndarray:
     """Blur + 2x subsample. Output spatial size is ceil(size / 2).
 

@@ -75,3 +75,43 @@ def test_stream_frames_empty(hsio):
 def test_load_gray_missing_file_raises(hsio):
     with pytest.raises(IOError):
         hsio.load_gray("/nonexistent/x.pgm")
+
+
+def test_stream_frames_mixed_sizes(hsio, tmp_path):
+    """Frames of different sizes: the loader reports dims per frame, the
+    binding grows its buffer, and no frame is lost or misread."""
+    rng = np.random.default_rng(9)
+    sizes = [(20, 32), (48, 64), (12, 16), (48, 64)]
+    paths, want = [], []
+    for k, (h, w) in enumerate(sizes):
+        img = rng.uniform(0, 1, (h, w)).astype(np.float32)
+        p = str(tmp_path / f"m{k}.pgm")
+        pyimages.save_image(p, img)
+        paths.append(p)
+        want.append(pyimages.load_gray(p))
+    got = list(hsio.stream_frames(paths, n_threads=2, prefetch=3))
+    assert [g.shape for g in got] == sizes
+    for g, wv in zip(got, want):
+        np.testing.assert_array_equal(g, wv)
+
+
+def test_stream_frames_corrupt_frame_reports_in_order(hsio, tmp_path):
+    """A corrupt frame mid-stream errors only when reached; earlier frames
+    are delivered intact."""
+    rng = np.random.default_rng(10)
+    paths, want = [], []
+    for k in range(5):
+        img = rng.uniform(0, 1, (16, 24)).astype(np.float32)
+        p = str(tmp_path / f"c{k}.pgm")
+        pyimages.save_image(p, img)
+        paths.append(p)
+        want.append(pyimages.load_gray(p))
+    with open(paths[3], "wb") as f:
+        f.write(b"P5\n24 16\n255\n_too_short")
+    got = []
+    with pytest.raises(IOError):
+        for fr in hsio.stream_frames(paths, n_threads=3, prefetch=5):
+            got.append(fr)
+    assert len(got) == 3
+    for g, wv in zip(got, want[:3]):
+        np.testing.assert_array_equal(g, wv)
