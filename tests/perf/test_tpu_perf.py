@@ -34,7 +34,8 @@ def _throughput(h, w, iters, backend, repeats=5):
 
 def test_pallas_sweep_floor():
     gpx = _throughput(1024, 1280, 100, "pallas")
-    assert gpx > 8.0, f"pallas sweep throughput regressed: {gpx:.1f} Gpx*sweeps/s"
+    # measured 25-36 Gpx*sweeps/s across sessions (±20% tunnel variance)
+    assert gpx > 12.0, f"pallas sweep throughput regressed: {gpx:.1f} Gpx*sweeps/s"
 
 
 def test_pallas_beats_jnp_at_mpx_scale():
