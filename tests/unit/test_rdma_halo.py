@@ -1,0 +1,50 @@
+"""In-kernel remote-DMA halo exchange (SURVEY.md §2c advanced path).
+
+Hardware-only (remote DMA has no interpret mode): the 1-chip mesh is the
+degenerate ring — neighbors collapse to self, exercising the identical RDMA
+code a pod-slice ring runs, with periodic-wrap semantics to assert against.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def test_ring_halo_exchange_degenerate_ring():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from opticalflowhs_tpu.kernels.rdma_halo import ring_halo_exchange
+
+    h, w, halo = 32, 128, 8
+    tile = jnp.asarray(
+        (np.arange(h)[:, None] * 1000.0 + np.arange(w)[None, :]).astype(np.float32)
+    )
+    mesh = Mesh(np.array(jax.devices()[:1]), ("y",))
+    fn = jax.jit(
+        jax.shard_map(
+            lambda t: ring_halo_exchange(t, halo),
+            mesh=mesh,
+            in_specs=P("y"),
+            out_specs=P("y"),
+            check_vma=False,
+        )
+    )
+    out = np.asarray(fn(tile))
+    want = np.concatenate(
+        [np.asarray(tile)[-halo:], np.asarray(tile), np.asarray(tile)[:halo]]
+    )
+    np.testing.assert_array_equal(out, want)
+
+
+def test_ring_halo_exchange_validation():
+    import jax.numpy as jnp
+
+    from opticalflowhs_tpu.kernels.rdma_halo import ring_halo_exchange
+
+    with pytest.raises(ValueError, match="multiple of 8"):
+        ring_halo_exchange(jnp.zeros((32, 128)), 3)
+    with pytest.raises(ValueError, match="exceeds tile"):
+        ring_halo_exchange(jnp.zeros((8, 128)), 16)
