@@ -2,9 +2,10 @@
 
 Prints ONE JSON line. Headline metric: fused-sweep throughput in Gpx*sweeps/s
 per chip on a 1088x1920 (config-4 HD) frame, 100 iterations (the BASELINE.md
-"Jacobi sweep throughput" row). vs_baseline is the fraction of the fp32 HBM-roofline
-speed-of-light target (~29 Gpx/s on TPU v5e, SURVEY.md §6) — the reference
-publishes no numbers of its own (BASELINE.json "published": {}).
+"Jacobi sweep throughput" row). vs_baseline is the fraction of the fp32
+HBM-streaming speed-of-light (819 GB/s / 32 B/px = 25.6 Gpx*sweeps/s on
+v5e — the single canonical accounting, opticalflowhs_tpu/bench.py) — the
+reference publishes no numbers of its own (BASELINE.json "published": {}).
 
 Axon-platform quirk: the first execution must be synced with a host readback
 (block_until_ready alone does not force the deferred remote compile); timing
@@ -22,6 +23,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from opticalflowhs_tpu.bench import roofline_gpx_sweeps
     from opticalflowhs_tpu.config import HSConfig
     from opticalflowhs_tpu.solver import hs_solve
 
@@ -43,7 +45,9 @@ def main():
     dt = (time.perf_counter() - t0) / n
 
     gpx_sweeps = h * w * iters / dt / 1e9
-    sol_target = 29.0  # Gpx*sweeps/s/chip, fp32 HBM roofline (SURVEY.md §6)
+    # fp32 HBM-streaming SoL: 819 GB/s / 32 B/px = 25.6 Gpx*sweeps/s/chip
+    # (the one canonical accounting — opticalflowhs_tpu/bench.py).
+    sol_target = roofline_gpx_sweeps(str(jax.devices()[0].device_kind))
     print(
         json.dumps(
             {
@@ -57,7 +61,10 @@ def main():
                     "backend": backend,
                     "ms_per_solve": round(dt * 1e3, 3),
                     "device": str(jax.devices()[0].device_kind),
-                    "baseline_is": "fp32 HBM-roofline speed-of-light (29 Gpx*sweeps/s)",
+                    "baseline_is": (
+                        f"fp32 HBM-streaming speed-of-light "
+                        f"({sol_target:.1f} Gpx*sweeps/s = 819 GB/s / 32 B/px)"
+                    ),
                 },
             }
         )

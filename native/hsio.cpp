@@ -73,7 +73,10 @@ bool pnm_header(const std::vector<unsigned char>& d, std::string& magic,
     ++i;
   }
   if (tok < 4) return false;
-  data_off = i;  // single whitespace after maxval already consumed
+  // A CRLF-terminated header (Windows-written PNM) consumes only the '\r'
+  // above; skip the '\n' too or binary pixel data shifts by one byte.
+  if (i > 0 && d[i - 1] == '\r' && i < d.size() && d[i] == '\n') ++i;
+  data_off = i;  // whitespace after maxval fully consumed
   return true;
 }
 
@@ -188,6 +191,13 @@ int hsio_read_flo(const char* path, float* out, int* w, int* h) {
   int32_t wi, hi;
   if (std::fread(&magic, 4, 1, f) != 1 || magic != kFloMagic ||
       std::fread(&wi, 4, 1, f) != 1 || std::fread(&hi, 4, 1, f) != 1) {
+    std::fclose(f);
+    return -2;
+  }
+  // Dimensions come from untrusted file contents: reject non-positive or
+  // absurd values before the caller allocates from them (mirrors
+  // hsio_probe's checks; 100k px/side is far beyond any real flow field).
+  if (wi <= 0 || hi <= 0 || wi > 100000 || hi > 100000) {
     std::fclose(f);
     return -2;
   }

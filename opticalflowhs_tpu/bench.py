@@ -17,10 +17,23 @@ from typing import Optional
 
 import numpy as np
 
-# fp32 HBM-roofline speed-of-light for one fused sweep: u,v read+write plus
-# 4 loop-invariant field reads ~= 32 B/px streamed (SURVEY.md §3.2, §6).
+# THE canonical roofline accounting — every published number derives from
+# these two constants (root bench.py, docs/PERFORMANCE.md, BASELINE.md all
+# import or cite them; do not fork a second accounting).
+#
+# One fused Jacobi sweep streams 8 arrays per pixel: read u, v, Ex, Ey, Et,
+# inv_den + write u, v = 32 B/px in fp32 (SURVEY.md §3.2). fp32 streaming
+# speed-of-light on v5e: 819 / 32 = 25.6 Gpx*sweeps/s; temporal blocking
+# (VMEM residency / banded s-sweep blocks) amortizes the traffic and may
+# legitimately exceed it.
 SWEEP_BYTES_PER_PX = 32
 HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5e": 819.0}
+
+
+def roofline_gpx_sweeps(device_kind: str = "TPU v5e", dtype_bytes: int = 4) -> float:
+    """Streaming (non-temporally-blocked) sweep speed-of-light, Gpx*sweeps/s."""
+    peak = HBM_GBPS.get(device_kind, 819.0)
+    return peak / (SWEEP_BYTES_PER_PX * dtype_bytes / 4)
 
 
 def _sync_warm(fn, *args):

@@ -96,8 +96,6 @@ def main(argv=None) -> int:
         i2 = jnp.asarray(load_gray(args.frame2))
     else:
         h, w = (int(t) for t in args.shape.split("x"))
-        h -= h % mesh_cfg.y
-        w -= w % mesh_cfg.x
         rng = np.random.default_rng(0)
         i1 = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
         i2 = jnp.asarray(jnp.roll(i1, 2, axis=1))

@@ -6,6 +6,13 @@ local Jacobi sweeps. Jacobi's order-independence makes the tiled solve
 *exactly* equivalent to the untiled one given correct halos (SURVEY.md §2.5)
 — that invariant is asserted by tests/distributed/ at several mesh shapes.
 
+Arbitrary H x W: frames are zero-padded up to the mesh grid and every tile
+body clamps at the TRUE image edges via boolean masks from global
+coordinates (ops.stencils masked twins of the solver ops; the Pallas tile
+kernel has used the same scheme since round 1) — pad values are garbage that
+true pixels never read, and the output is cropped back. No silent geometry
+changes on user data.
+
 Blockwise halo (halo_sweeps = s > 1) exchanges an s-px halo every s sweeps to
 amortize ppermute latency over ICI/DCN: the halo ring decays one ring per
 sweep while the owned tile stays exact (ring-attention-style blocking,
@@ -27,46 +34,54 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from opticalflowhs_tpu.config import HSConfig
-from opticalflowhs_tpu.dist.halo import halo_pad, replicate_global_edges, unpad
+from opticalflowhs_tpu.dist.halo import halo_pad, unpad
 from opticalflowhs_tpu.ops import stencils
 from opticalflowhs_tpu.solver import Flow, resolve_backend
 
 
-def _local_sweep_block(u, v, ex, ey, et, invd, n_sweeps: int, halo: int):
-    """s sweeps on an s-halo-padded tile; global edges re-clamped per sweep."""
-
-    def body(k, uv):
-        uu, vv = uv
-        uu = jnp.where(k > 0, replicate_global_edges(uu, halo), uu)
-        vv = jnp.where(k > 0, replicate_global_edges(vv, halo), vv)
-        return stencils.jacobi_step(uu, vv, ex, ey, et, invd)
-
-    return lax.fori_loop(0, n_sweeps, body, (u, v))
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
-def _tile_body(i1t: jnp.ndarray, i2t: jnp.ndarray, cfg: HSConfig, s: int) -> Flow:
-    """Per-chip solve body; runs inside shard_map with y/x axes bound."""
+def _tile_masks(row0, col0, shape, h: int, w: int):
+    """True-edge clamp masks for a tile whose top-left (halo included) sits
+    at traced global coordinates (row0, col0) of the h x w image."""
+    gr = row0 + lax.broadcasted_iota(jnp.int32, shape, 0)
+    gc = col0 + lax.broadcasted_iota(jnp.int32, shape, 1)
+    return stencils.edge_masks(gr, gc, h, w)
+
+
+def _tile_body(
+    i1t: jnp.ndarray, i2t: jnp.ndarray, cfg: HSConfig, s: int, h: int, w: int
+) -> Flow:
+    """Per-chip solve body; runs inside shard_map with y/x axes bound.
+
+    (h, w) is the TRUE image size; the sharded array may be zero-padded
+    beyond it and tiles clamp at the true edges via masks.
+    """
     dtype = jnp.dtype(cfg.dtype)
     i1t = i1t.astype(dtype)
     i2t = i2t.astype(dtype)
+    th, tw = i1t.shape
+    row0 = lax.axis_index("y") * th
+    col0 = lax.axis_index("x") * tw
     # Frames with (s+1)-px halo -> derivatives exact on the s-halo region.
     f1 = halo_pad(i1t, s + 1)
     f2 = halo_pad(i2t, s + 1)
-    ex, ey, et = stencils.derivatives(f1, f2, cfg.deriv_variant)
+    dmasks = _tile_masks(row0 - (s + 1), col0 - (s + 1), f1.shape, h, w)
+    ex, ey, et = stencils.derivatives_masked(f1, f2, dmasks, cfg.deriv_variant)
     ex, ey, et = (unpad(a, 1) for a in (ex, ey, et))
     invd = 1.0 / (cfg.alpha * cfg.alpha + ex * ex + ey * ey)
 
     u = jnp.zeros_like(i1t)
     v = jnp.zeros_like(i1t)
-    th, tw = i1t.shape
     use_pallas = resolve_backend(cfg.backend) == "pallas"
     if use_pallas:
         from opticalflowhs_tpu.kernels.jacobi import tile_sweeps
-
-        h = th * lax.axis_size("y")
-        w = tw * lax.axis_size("x")
-        row0 = lax.axis_index("y") * th - s
-        col0 = lax.axis_index("x") * tw - s
+    else:
+        smasks = _tile_masks(
+            row0 - s, col0 - s, (th + 2 * s, tw + 2 * s), h, w
+        )
 
     def block(uv, n_sweeps):
         uu = halo_pad(uv[0], s)
@@ -75,10 +90,16 @@ def _tile_body(i1t: jnp.ndarray, i2t: jnp.ndarray, cfg: HSConfig, s: int) -> Flo
             # Per-chip fused Pallas sweeps; clamp at true global edges via
             # the tile's traced global offset (SURVEY.md §3.5 hot loop).
             uu, vv = tile_sweeps(
-                uu, vv, ex, ey, et, invd, n_sweeps, row0, col0, h, w
+                uu, vv, ex, ey, et, invd, n_sweeps, row0 - s, col0 - s, h, w
             )
         else:
-            uu, vv = _local_sweep_block(uu, vv, ex, ey, et, invd, n_sweeps, s)
+
+            def body(_, x):
+                return stencils.jacobi_step_masked(
+                    x[0], x[1], ex, ey, et, invd, smasks
+                )
+
+            uu, vv = lax.fori_loop(0, n_sweeps, body, (uu, vv))
         return unpad(uu, s), unpad(vv, s)
 
     n_full, rem = divmod(cfg.iters, s)
@@ -91,14 +112,15 @@ def _tile_body(i1t: jnp.ndarray, i2t: jnp.ndarray, cfg: HSConfig, s: int) -> Flo
     return Flow(u, v)
 
 
-@partial(jax.jit, static_argnames=("cfg", "s", "mesh", "batched"))
-def _tiled_impl(i1, i2, cfg: HSConfig, s: int, mesh: Mesh, batched: bool):
+@partial(jax.jit, static_argnames=("cfg", "s", "mesh", "batched", "h", "w"))
+def _tiled_impl(i1, i2, cfg: HSConfig, s: int, mesh: Mesh, batched: bool,
+                h: int, w: int):
     spec = P("batch", "y", "x") if batched else P("y", "x")
     body = _tile_body
     if batched:
-        body = jax.vmap(_tile_body, in_axes=(0, 0, None, None))
+        body = jax.vmap(_tile_body, in_axes=(0, 0, None, None, None, None))
     fn = jax.shard_map(
-        lambda a, b: body(a, b, cfg, s),
+        lambda a, b: body(a, b, cfg, s, h, w),
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=Flow(spec, spec),
@@ -120,8 +142,10 @@ def hs_solve_tiled(
 
     Accepts (H, W) single pairs or (B, H, W) stacks; stacks are additionally
     sharded over the "batch" axis (DP x TP composition, SURVEY.md §2b).
-    H and W must divide evenly by the mesh's y and x sizes; tiles must be at
-    least halo_sweeps+1 pixels on a side.
+    Any H x W works: frames are zero-padded to the mesh grid internally,
+    tiles clamp at the true image edges via masks, and the flow is cropped
+    back to H x W — exactly equal to the untiled solve. Tiles (after
+    padding) must be at least halo_sweeps+1 pixels on a side.
     """
     if mesh is None:
         raise ValueError("hs_solve_tiled requires a Mesh (dist.make_mesh)")
@@ -131,18 +155,24 @@ def hs_solve_tiled(
     h, w = i1.shape[-2:]
     my = mesh.shape["y"]
     mx = mesh.shape["x"]
-    if h % my or w % mx:
-        raise ValueError(f"image {h}x{w} not divisible by spatial mesh {my}x{mx}")
     if batched and i1.shape[0] % mesh.shape["batch"]:
         raise ValueError(
             f"batch {i1.shape[0]} not divisible by mesh batch {mesh.shape['batch']}"
         )
-    if h // my <= halo_sweeps or w // mx <= halo_sweeps:
+    hp, wp = _round_up(h, my), _round_up(w, mx)
+    if hp // my <= halo_sweeps or wp // mx <= halo_sweeps:
         raise ValueError(
-            f"tile {h // my}x{w // mx} too small for halo_sweeps={halo_sweeps}"
+            f"tile {hp // my}x{wp // mx} too small for halo_sweeps={halo_sweeps}"
         )
+    if (hp, wp) != (h, w):
+        pad = [(0, 0)] * (i1.ndim - 2) + [(0, hp - h), (0, wp - w)]
+        i1 = jnp.pad(i1, pad)
+        i2 = jnp.pad(i2, pad)
     spec = P("batch", "y", "x") if batched else P("y", "x")
     sharding = NamedSharding(mesh, spec)
     i1 = jax.device_put(i1, sharding)
     i2 = jax.device_put(i2, sharding)
-    return _tiled_impl(i1, i2, cfg, halo_sweeps, mesh, batched)
+    flow = _tiled_impl(i1, i2, cfg, halo_sweeps, mesh, batched, h, w)
+    if (hp, wp) != (h, w):
+        flow = Flow(flow.u[..., :h, :w], flow.v[..., :h, :w])
+    return flow

@@ -47,6 +47,8 @@ def estimate_egomotion(
 ) -> EgoMotion:
     """Least-squares 4-parameter ego-motion fit to a dense flow field.
 
+    `center`: reference point for the reported (tx, ty) and the FOE; the fit
+    itself always uses centroid-centered coordinates (see body comment).
     `axis_names`: mesh axes to psum moments over when called inside
     shard_map on a spatially-tiled flow; `global_offset` then gives this
     tile's (row0, col0) in the global image so coordinates are global.
@@ -68,12 +70,13 @@ def estimate_egomotion(
         return t
 
     n = total(jnp.ones_like(u))
-    if center is None:
-        cx = total(jnp.broadcast_to(xx, u.shape)) / n
-        cy = total(jnp.broadcast_to(yy, u.shape)) / n
-    else:
-        cx = jnp.float32(center[0])
-        cy = jnp.float32(center[1])
+    # The decoupled closed-form moment ratios below are the least-squares
+    # solution only when sum(xb) == sum(yb) == 0, so the fit ALWAYS runs in
+    # coordinates centered at the data centroid; an explicit `center` only
+    # reparametrizes (tx, ty) afterwards (exact — the model is affine in the
+    # center choice) and anchors focus_of_expansion reporting.
+    cx = total(jnp.broadcast_to(xx, u.shape)) / n
+    cy = total(jnp.broadcast_to(yy, u.shape)) / n
     xb = xx - (cx[..., None, None] if jnp.ndim(cx) else cx)
     yb = yy - (cy[..., None, None] if jnp.ndim(cy) else cy)
 
@@ -89,4 +92,10 @@ def estimate_egomotion(
     um = b(tx) + b(s) * xb - b(omega) * yb
     vm = b(ty) + b(s) * yb + b(omega) * xb
     residual = jnp.sqrt(total((u - um) ** 2 + (v - vm) ** 2) / n)
+    if center is not None:
+        # u = tx + s(x-cx) - w(y-cy) = tx' + s(x-cx') - w(y-cy') with
+        # tx' = tx + s(cx'-cx) - w(cy'-cy) (and the rotated analog for ty).
+        dx = jnp.float32(center[0]) - cx
+        dy = jnp.float32(center[1]) - cy
+        tx, ty = tx + s * dx - omega * dy, ty + s * dy + omega * dx
     return EgoMotion(tx, ty, omega, s, residual)

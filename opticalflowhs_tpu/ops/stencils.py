@@ -81,6 +81,91 @@ def neighbor_avg(u: jnp.ndarray) -> jnp.ndarray:
     return s * (1.0 / 12.0) - u * (1.0 / 3.0)
 
 
+# -- true-edge-masked variants -------------------------------------------------
+#
+# Twins of the ops above for tiles of a larger global image: the HS clamp
+# must fire at the TRUE image edge (a boolean mask from global coordinates),
+# not at the tile's array edge. Same arithmetic association order as both the
+# unmasked ops and the Pallas kernels (kernels/jacobi.py::_kernel_step), so
+# tiled == untiled holds to float equality for any tile/pad geometry; array
+# rows/cols outside the true image (zero-pad or decaying halo) are garbage
+# that true pixels never read.
+
+
+def edge_masks(gr: jnp.ndarray, gc: jnp.ndarray, h: int, w: int):
+    """(top, bottom, left, right) boolean grids from global row/col grids."""
+    return (gr == 0, gr == h - 1, gc == 0, gc == w - 1)
+
+
+def neighbor_avg_masked(u: jnp.ndarray, masks) -> jnp.ndarray:
+    """neighbor_avg with the clamp at the true image edges given by masks."""
+    m_top, m_bot, m_lf, m_rt = masks
+    up = jnp.where(m_top, u, shift_down_row(u))   # u(i-1)
+    dn = jnp.where(m_bot, u, shift_up_row(u))     # u(i+1)
+    t = up + 2.0 * u + dn
+    rt = jnp.where(m_lf, t, shift_right_col(t))   # t(j-1)
+    lf = jnp.where(m_rt, t, shift_left_col(t))    # t(j+1)
+    s = rt + 2.0 * t + lf
+    return s * (1.0 / 12.0) - u * (1.0 / 3.0)
+
+
+def jacobi_step_masked(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    et: jnp.ndarray,
+    inv_den: jnp.ndarray,
+    masks,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """jacobi_step with true-edge masks (tile bodies of the tiled solver)."""
+    ubar = neighbor_avg_masked(u, masks)
+    vbar = neighbor_avg_masked(v, masks)
+    frac = (ex * ubar + ey * vbar + et) * inv_den
+    return ubar - ex * frac, vbar - ey * frac
+
+
+def derivatives_masked(
+    i1: jnp.ndarray, i2: jnp.ndarray, masks, variant: str = "hs_cube"
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """derivatives with the clamp at the true image edges given by masks."""
+    m_top, m_bot, m_lf, m_rt = masks
+
+    def up_row(a):  # a(i+1), clamped at the true bottom edge
+        return jnp.where(m_bot, a, shift_up_row(a))
+
+    def left_col(a):  # a(j+1), clamped at the true right edge
+        return jnp.where(m_rt, a, shift_left_col(a))
+
+    if variant == "hs_cube":
+        ex = jnp.zeros_like(i1)
+        ey = jnp.zeros_like(i1)
+        for f in (i1, i2):
+            fr = up_row(f)
+            fc = left_col(f)
+            frc = left_col(fr)
+            ex = ex + (fc - f) + (frc - fr)
+            ey = ey + (fr - f) + (frc - fc)
+        ex = ex * 0.25
+        ey = ey * 0.25
+        d = i2 - i1
+        et = 0.25 * (d + up_row(d) + left_col(d) + left_col(up_row(d)))
+        return ex, ey, et
+    elif variant == "central":
+
+        def down_row(a):  # a(i-1), clamped at the true top edge
+            return jnp.where(m_top, a, shift_down_row(a))
+
+        def right_col(a):  # a(j-1), clamped at the true left edge
+            return jnp.where(m_lf, a, shift_right_col(a))
+
+        ex = 0.5 * (left_col(i1) - right_col(i1))
+        ey = 0.5 * (up_row(i1) - down_row(i1))
+        et = i2 - i1
+        return ex, ey, et
+    raise ValueError(f"unknown derivative variant {variant!r}")
+
+
 def jacobi_step(
     u: jnp.ndarray,
     v: jnp.ndarray,

@@ -64,12 +64,30 @@ def test_batched_tiled_dp_tp(pair):
 def test_tiled_validation_errors(pair):
     i1, i2 = pair
     mesh = make_mesh(MeshConfig(batch=1, y=2, x=4))
-    with pytest.raises(ValueError, match="not divisible"):
-        hs_solve_tiled(i1[:, :63], i2[:, :63], CFG, mesh=mesh)
     with pytest.raises(ValueError, match="requires a Mesh"):
         hs_solve_tiled(i1, i2, CFG)
     with pytest.raises(ValueError, match="too small"):
         hs_solve_tiled(i1, i2, CFG, mesh=mesh, halo_sweeps=100)
+
+
+@pytest.mark.parametrize("mesh_yx", [(2, 4), (8, 1), (1, 8), (2, 2)])
+@pytest.mark.parametrize("shape", [(37, 115), (63, 61)])
+def test_tiled_arbitrary_shape_matches_untiled(mesh_yx, shape):
+    """Prime-ish shapes that do NOT divide the mesh: pad-and-mask inside the
+    shard body must reproduce the untiled solve exactly (no silent crop)."""
+    h, w = shape
+    rng = np.random.default_rng(5)
+    i1 = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    mesh = make_mesh(MeshConfig(batch=1, y=mesh_yx[0], x=mesh_yx[1]))
+    ref = hs_solve(i1, i2, HSConfig(alpha=0.5, iters=12, backend="jnp"))
+    u, v = np.asarray(ref.u), np.asarray(ref.v)
+    for backend, s in (("jnp", 1), ("jnp", 3), ("pallas", 2)):
+        cfg = HSConfig(alpha=0.5, iters=12, backend=backend)
+        f = hs_solve_tiled(i1, i2, cfg, mesh=mesh, halo_sweeps=s)
+        assert f.u.shape == (h, w)
+        np.testing.assert_allclose(np.asarray(f.u), u, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(f.v), v, atol=2e-6)
 
 
 @pytest.mark.parametrize("s", [1, 3])

@@ -80,3 +80,29 @@ def test_halo_fault_injection_corrupts_then_restart_recovers():
     good = hs_solve_tiled(i1, i2, cfg, mesh=mesh)
     np.testing.assert_allclose(np.asarray(good.u), np.asarray(ref.u), atol=1e-6)
     np.testing.assert_allclose(np.asarray(good.v), np.asarray(ref.v), atol=1e-6)
+
+
+def test_checkpoint_from_different_frames_rejected(tmp_path):
+    """A stale checkpoint at the same path for a DIFFERENT frame pair with
+    the same config must not silently warm-start the wrong solve."""
+    i1, i2 = _problem()
+    j1, j2, _ = translation_pair(32, 64, 0.0, 1.0, key=99)
+    cfg = HSConfig(alpha=0.5, iters=10, backend="jnp", checkpoint_every=5)
+    p = str(tmp_path / "ck.npz")
+    hs_solve_checkpointed(i1, i2, cfg, p)
+    with pytest.raises(ValueError, match="different frame"):
+        hs_solve_checkpointed(jnp.asarray(j1), jnp.asarray(j2), cfg, p)
+
+
+def test_overiterated_checkpoint_rejected(tmp_path):
+    """sweeps_done beyond cfg.iters is an error, not a silent return.
+    (A config change alters the cfg hash and is caught earlier, so this can
+    only arise from a checkpoint whose recorded count exceeds its own
+    config's iters — e.g. a hand-written or corrupted state file.)"""
+    i1, i2 = _problem()
+    cfg = HSConfig(alpha=0.5, iters=20, backend="jnp", checkpoint_every=5)
+    p = str(tmp_path / "ck.npz")
+    seg = hs_solve(i1, i2, dataclasses.replace(cfg, iters=5, checkpoint_every=0))
+    save_state(p, seg, 30, cfg)
+    with pytest.raises(ValueError, match="over-iterated"):
+        hs_solve_checkpointed(i1, i2, cfg, p)

@@ -140,3 +140,23 @@ def test_egomotion_sharded_matches_unsharded():
         got, [float(ref.tx), float(ref.ty), float(ref.omega), float(ref.scale), float(ref.residual)],
         atol=1e-4,
     )
+
+
+def test_egomotion_explicit_offcenter_is_exact_ls():
+    """An explicit `center` away from the coordinate centroid must still
+    yield the exact least-squares fit (the fit runs centroid-centered and
+    (tx, ty) are reparametrized to the requested center afterwards)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from opticalflowhs_tpu.solver import Flow
+    from opticalflowhs_tpu.egomotion import estimate_egomotion
+
+    h, w = 40, 60
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cx, cy, tx, ty, s, om = 10.0, 5.0, 1.5, -0.5, 0.02, 0.01
+    u = tx + s * (xx - cx) - om * (yy - cy)
+    v = ty + s * (yy - cy) + om * (xx - cx)
+    e = estimate_egomotion(Flow(jnp.asarray(u), jnp.asarray(v)), center=(cx, cy))
+    assert abs(float(e.tx) - tx) < 1e-4 and abs(float(e.ty) - ty) < 1e-4
+    assert abs(float(e.scale) - s) < 1e-6 and abs(float(e.omega) - om) < 1e-6
+    assert float(e.residual) < 1e-4

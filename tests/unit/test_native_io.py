@@ -115,3 +115,27 @@ def test_stream_frames_corrupt_frame_reports_in_order(hsio, tmp_path):
     assert len(got) == 3
     for g, wv in zip(got, want[:3]):
         np.testing.assert_array_equal(g, wv)
+
+
+def test_crlf_pnm_header_decodes_exactly(hsio, tmp_path):
+    """Windows-written PNM: CRLF after maxval must not shift pixel data."""
+    rng = np.random.default_rng(7)
+    px = (rng.uniform(0, 255, (9, 13))).astype(np.uint8)
+    p = str(tmp_path / "crlf.pgm")
+    with open(p, "wb") as f:
+        f.write(b"P5\r\n13 9\r\n255\r\n" + px.tobytes())
+    a = hsio.load_gray(p)
+    np.testing.assert_allclose(a, px.astype(np.float32) / 255.0, atol=1e-7)
+
+
+def test_corrupt_flo_dims_rejected(hsio, tmp_path):
+    """Negative / absurd dimensions in a .flo header are a clean format
+    error, not a huge allocation downstream."""
+    import struct
+
+    for w, h in ((-3, 8), (8, -1), (2_000_000, 2), (0, 0)):
+        p = str(tmp_path / f"bad_{w}_{h}.flo")
+        with open(p, "wb") as f:
+            f.write(struct.pack("<fii", 202021.25, w, h))
+        with pytest.raises(Exception):
+            hsio.read_flo(p)
