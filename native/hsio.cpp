@@ -26,6 +26,14 @@
 #include <thread>
 #include <vector>
 
+#ifdef HSIO_WITH_OPENCV
+// PNG/JPEG/BMP/TIFF decode via OpenCV imgcodecs (reference R7 used
+// stb/OpenCV breadth; the Makefile enables this when pkg-config finds
+// opencv4). Only imgcodecs+core are linked.
+#include <opencv2/core.hpp>
+#include <opencv2/imgcodecs.hpp>
+#endif
+
 namespace {
 
 struct Image {
@@ -147,6 +155,60 @@ bool decode_pnm(const std::vector<unsigned char>& d, Image& img) {
   return false;
 }
 
+#ifdef HSIO_WITH_OPENCV
+// Decode any OpenCV-supported format to float32 grayscale in [0, 1],
+// matching io/images.py exactly: stored grayscale is scaled by the sample
+// max; color converts via BT.601 luma in float (no intermediate rounding).
+bool decode_cv(const std::vector<unsigned char>& d, Image& img) {
+  cv::Mat buf(1, static_cast<int>(d.size()), CV_8UC1,
+              const_cast<unsigned char*>(d.data()));
+  cv::Mat raw = cv::imdecode(buf, cv::IMREAD_UNCHANGED);
+  if (raw.empty()) return false;
+  img.w = raw.cols;
+  img.h = raw.rows;
+  img.px.resize(static_cast<size_t>(raw.cols) * raw.rows);
+  const int depth = raw.depth();
+  const float maxv = depth == CV_16U ? 65535.0f : 255.0f;
+  const int ch = raw.channels();
+  const float wr = 0.299f, wg = 0.587f, wb = 0.114f;  // BT.601, io/images.py
+  for (int y = 0; y < raw.rows; ++y) {
+    float* out = img.px.data() + static_cast<size_t>(y) * raw.cols;
+    for (int x = 0; x < raw.cols; ++x) {
+      float r, g, b;
+      if (depth == CV_16U) {
+        const uint16_t* p = raw.ptr<uint16_t>(y) + static_cast<size_t>(x) * ch;
+        if (ch == 1) { out[x] = p[0] / maxv; continue; }
+        b = p[0] / maxv; g = p[1] / maxv; r = p[2] / maxv;  // OpenCV is BGR
+      } else {
+        const uint8_t* p = raw.ptr<uint8_t>(y) + static_cast<size_t>(x) * ch;
+        if (ch == 1) { out[x] = p[0] / maxv; continue; }
+        b = p[0] / maxv; g = p[1] / maxv; r = p[2] / maxv;
+      }
+      out[x] = wr * r + wg * g + wb * b;  // alpha (ch==4) ignored
+    }
+  }
+  return true;
+}
+#endif
+
+// Dispatch: PNM fast path, then the OpenCV codecs when compiled in.
+bool decode_image(const std::vector<unsigned char>& d, Image& img) {
+  if (d.size() >= 2 && d[0] == 'P' && d[1] >= '1' && d[1] <= '6') {
+    if (decode_pnm(d, img)) return true;
+    img = Image();
+  }
+#ifdef HSIO_WITH_OPENCV
+  return decode_cv(d, img);
+#else
+  return false;
+#endif
+}
+
+// Big-endian u32 at offset (PNG header fields).
+uint32_t be32(const unsigned char* p) {
+  return (static_cast<uint32_t>(p[0]) << 24) | (p[1] << 16) | (p[2] << 8) | p[3];
+}
+
 constexpr float kFloMagic = 202021.25f;  // "PIEH"
 
 }  // namespace
@@ -155,18 +217,49 @@ extern "C" {
 
 // ---- one-shot decode --------------------------------------------------------
 
-// Header-only probe: parses PNM dimensions without decoding pixels.
+// Codec capability bitmask: 1 = PNM (always), 2 = OpenCV imgcodecs
+// (PNG/JPEG/BMP/TIFF/...). Lets the Python side route the prefetch loader.
+int hsio_codecs() {
+#ifdef HSIO_WITH_OPENCV
+  return 1 | 2;
+#else
+  return 1;
+#endif
+}
+
+// Header-only probe: parses PNM/PNG dimensions without decoding pixels;
+// other formats (when the OpenCV codecs are compiled in) fully decode.
 int hsio_probe(const char* path, int* w, int* h) {
   std::vector<unsigned char> d;
   if (!read_file(path, d)) return -1;  // (reads the file; header parse only)
   std::string magic;
   long v[3];
   size_t off;
-  if (!pnm_header(d, magic, v, off)) return -2;
-  if (v[0] <= 0 || v[1] <= 0) return -2;
-  *w = static_cast<int>(v[0]);
-  *h = static_cast<int>(v[1]);
-  return 0;
+  const bool is_pnm = d.size() >= 2 && d[0] == 'P' && d[1] >= '1' && d[1] <= '6';
+  if (is_pnm) {
+    if (!pnm_header(d, magic, v, off) || v[0] <= 0 || v[1] <= 0) return -2;
+    *w = static_cast<int>(v[0]);
+    *h = static_cast<int>(v[1]);
+    return 0;
+  }
+  static const unsigned char png_sig[8] = {137, 'P', 'N', 'G', 13, 10, 26, 10};
+  if (d.size() >= 24 && std::memcmp(d.data(), png_sig, 8) == 0) {
+    const uint32_t wi = be32(d.data() + 16);  // IHDR is always first
+    const uint32_t hi = be32(d.data() + 20);
+    if (wi == 0 || hi == 0 || wi > 100000 || hi > 100000) return -2;
+    *w = static_cast<int>(wi);
+    *h = static_cast<int>(hi);
+    return 0;
+  }
+#ifdef HSIO_WITH_OPENCV
+  Image img;
+  if (decode_cv(d, img)) {
+    *w = img.w;
+    *h = img.h;
+    return 0;
+  }
+#endif
+  return -2;
 }
 
 // Returns 0 on success. Queries dimensions only when out == nullptr (full
@@ -175,7 +268,7 @@ int hsio_load_gray(const char* path, float* out, int* w, int* h) {
   std::vector<unsigned char> d;
   if (!read_file(path, d)) return -1;
   Image img;
-  if (!decode_pnm(d, img)) return -2;
+  if (!decode_image(d, img)) return -2;
   *w = img.w;
   *h = img.h;
   if (out) std::memcpy(out, img.px.data(), img.px.size() * sizeof(float));
@@ -252,12 +345,12 @@ struct hsio_loader {
       }
       Image img;
       std::vector<unsigned char> d;
-      bool ok = read_file(paths[idx].c_str(), d) && decode_pnm(d, img);
+      bool ok = read_file(paths[idx].c_str(), d) && decode_image(d, img);
       {
         std::lock_guard<std::mutex> lk(mu);
         if (!ok) {
           error = -2;
-          img = Image();  // decode_pnm may have partially filled it
+          img = Image();  // decoders may have partially filled it
         }
         done.emplace_back(idx, std::move(img));
         cv_consumer.notify_all();

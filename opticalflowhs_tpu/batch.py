@@ -39,7 +39,9 @@ def _batched_solve_impl(
         ex, ey, et, inv_den = precompute(i1, i2, cfg)  # stencils batch-aware
         u = jnp.zeros_like(ex)
         v = jnp.zeros_like(ex)
-        uo, vo = jacobi_sweeps_batched(u, v, ex, ey, et, inv_den, cfg.iters)
+        uo, vo = jacobi_sweeps_batched(
+            u, v, ex, ey, et, inv_den, cfg.iters, block_sweeps=cfg.block_sweeps
+        )
         return Flow(uo, vo)
 
     def single(a, b):

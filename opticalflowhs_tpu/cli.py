@@ -68,13 +68,25 @@ def _cmd_run(args, overrides):
     i1 = jnp.asarray(load_gray(args.frame1))
     i2 = jnp.asarray(load_gray(args.frame2))
     t0 = time.perf_counter()
-    flow = hs_pyramid(i1, i2, rc.hs, rc.pyramid)
+    tiled = rc.mesh.y * rc.mesh.x > 1
+    if tiled:
+        # Spatial mesh requested: route through the sharded pyramid (a 1-level
+        # pyramid is exactly the tiled solve).
+        from opticalflowhs_tpu.dist import hs_pyramid_tiled, make_mesh
+
+        mesh = make_mesh(rc.mesh)
+        flow = hs_pyramid_tiled(
+            i1, i2, rc.hs, rc.pyramid, mesh=mesh, halo_sweeps=rc.mesh.halo_sweeps
+        )
+    else:
+        flow = hs_pyramid(i1, i2, rc.hs, rc.pyramid)
     f = np.stack([np.asarray(flow.u), np.asarray(flow.v)], axis=-1)
     dt = time.perf_counter() - t0
     print(
         f"solved {i1.shape[1]}x{i1.shape[0]} flow: levels={rc.pyramid.levels} "
         f"alpha={rc.hs.alpha} iters={rc.hs.iters} backend={rc.hs.backend} "
-        f"in {dt * 1e3:.1f} ms (incl. compile on first run)"
+        + (f"mesh={rc.mesh.y}x{rc.mesh.x} " if tiled else "")
+        + f"in {dt * 1e3:.1f} ms (incl. compile on first run)"
     )
     if args.output:
         write_flo(args.output, f)
@@ -106,13 +118,14 @@ def _cmd_video(args, overrides):
             if p.lower().endswith((".png", ".jpg", ".jpeg", ".pgm", ".ppm", ".bmp"))
         )
         n_frames = len(paths)
-        # PNM directories go through the libhsio threaded prefetch loader
-        # (decode overlaps the solve — pipeline stage P6); other formats
-        # fall back to synchronous Python decode.
+        # Frame directories go through the libhsio threaded prefetch loader
+        # (decode overlaps the solve — pipeline stage P6) whenever the
+        # library can decode every frame (PNM always; PNG/JPEG/... when it
+        # was built with the OpenCV codecs); else synchronous Python decode.
         from opticalflowhs_tpu.io import native
 
-        if all(p.lower().endswith((".pgm", ".ppm", ".pnm")) for p in paths) and (
-            native.build() and native.available()
+        if native.build() and native.available() and all(
+            native.can_decode(p) for p in paths
         ):
             frames = native.stream_frames(paths, n_threads=4, prefetch=2 * args.chunk)
         else:

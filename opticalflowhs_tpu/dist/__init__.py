@@ -9,3 +9,4 @@ here comes from the north star's multi-chip mandate.
 from opticalflowhs_tpu.dist.mesh import make_mesh  # noqa: F401
 from opticalflowhs_tpu.dist.halo import halo_pad  # noqa: F401
 from opticalflowhs_tpu.dist.tiled_solver import hs_solve_tiled  # noqa: F401
+from opticalflowhs_tpu.dist.pyramid_tiled import hs_pyramid_tiled  # noqa: F401

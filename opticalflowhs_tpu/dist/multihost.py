@@ -71,6 +71,8 @@ def main(argv=None) -> int:
     p.add_argument("--halo-sweeps", type=int, default=4)
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--levels", type=int, default=3,
+                   help="pyramid levels (1 = single-level tiled solve)")
     p.add_argument("-o", "--output", help=".flo output (process 0 only)")
     args = p.parse_args(argv)
 
@@ -78,8 +80,8 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from opticalflowhs_tpu.config import HSConfig
-    from opticalflowhs_tpu.dist import hs_solve_tiled, make_mesh
+    from opticalflowhs_tpu.config import HSConfig, PyramidConfig
+    from opticalflowhs_tpu.dist import hs_pyramid_tiled, make_mesh
     from opticalflowhs_tpu.dist.mesh import mesh_for_devices
     from opticalflowhs_tpu.egomotion import estimate_egomotion
 
@@ -101,7 +103,10 @@ def main(argv=None) -> int:
         i2 = jnp.asarray(jnp.roll(i1, 2, axis=1))
 
     cfg = HSConfig(alpha=args.alpha, iters=args.iters, backend="jnp")
-    flow = hs_solve_tiled(i1, i2, cfg, mesh=mesh, halo_sweeps=args.halo_sweeps)
+    pyr = PyramidConfig(levels=args.levels)
+    flow = hs_pyramid_tiled(
+        i1, i2, cfg, pyr, mesh=mesh, halo_sweeps=args.halo_sweeps
+    )
     jax.block_until_ready(flow)
     em = estimate_egomotion(flow)
     if jax.process_index() == 0:

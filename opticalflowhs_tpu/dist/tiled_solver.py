@@ -51,6 +51,39 @@ def _tile_masks(row0, col0, shape, h: int, w: int):
     return stencils.edge_masks(gr, gc, h, w)
 
 
+def _tile_body_rdma(
+    i1t: jnp.ndarray, i2t: jnp.ndarray, cfg: HSConfig, s: int, h: int, w: int
+) -> Flow:
+    """Per-chip body for the fused remote-DMA path (SURVEY.md §2c advanced):
+    ONE Pallas launch runs all sweeps, exchanging u/v halos in-kernel every
+    s sweeps with the transfer overlapped against interior compute. 1-D row
+    decomposition (mesh x == 1); loop-invariant derivative fields get their
+    halo once here via ppermute."""
+    from opticalflowhs_tpu.dist.halo import _pad_axis
+    from opticalflowhs_tpu.kernels.jacobi import _round_up as round_up
+    from opticalflowhs_tpu.kernels.rdma_halo import ring_fused_sweeps
+
+    dtype = jnp.dtype(cfg.dtype)
+    i1t = i1t.astype(dtype)
+    i2t = i2t.astype(dtype)
+    th, tw = i1t.shape
+    row0 = lax.axis_index("y") * th
+    sblk = max(1, min(s, cfg.iters if cfg.iters else 1))
+    sigma = round_up(sblk, 8)
+    f1 = _pad_axis(i1t, sigma + 1, "y", i1t.ndim - 2)
+    f2 = _pad_axis(i2t, sigma + 1, "y", i2t.ndim - 2)
+    dmasks = _tile_masks(row0 - (sigma + 1), 0, f1.shape, h, w)
+    ex, ey, et = stencils.derivatives_masked(f1, f2, dmasks, cfg.deriv_variant)
+    ex, ey, et = (a[1:-1] for a in (ex, ey, et))
+    invd = 1.0 / (cfg.alpha * cfg.alpha + ex * ex + ey * ey)
+    u = jnp.zeros_like(i1t)
+    v = jnp.zeros_like(i1t)
+    u, v = ring_fused_sweeps(
+        u, v, ex, ey, et, invd, cfg.iters, sblk, row0, h, w, axis_name="y"
+    )
+    return Flow(u, v)
+
+
 def _tile_body(
     i1t: jnp.ndarray, i2t: jnp.ndarray, cfg: HSConfig, s: int, h: int, w: int
 ) -> Flow:
@@ -112,13 +145,14 @@ def _tile_body(
     return Flow(u, v)
 
 
-@partial(jax.jit, static_argnames=("cfg", "s", "mesh", "batched", "h", "w"))
+@partial(jax.jit,
+         static_argnames=("cfg", "s", "mesh", "batched", "h", "w", "halo_impl"))
 def _tiled_impl(i1, i2, cfg: HSConfig, s: int, mesh: Mesh, batched: bool,
-                h: int, w: int):
+                h: int, w: int, halo_impl: str = "ppermute"):
     spec = P("batch", "y", "x") if batched else P("y", "x")
-    body = _tile_body
+    body = _tile_body_rdma if halo_impl == "rdma" else _tile_body
     if batched:
-        body = jax.vmap(_tile_body, in_axes=(0, 0, None, None, None, None))
+        body = jax.vmap(body, in_axes=(0, 0, None, None, None, None))
     fn = jax.shard_map(
         lambda a, b: body(a, b, cfg, s, h, w),
         mesh=mesh,
@@ -137,6 +171,7 @@ def hs_solve_tiled(
     cfg: HSConfig = HSConfig(),
     mesh: Optional[Mesh] = None,
     halo_sweeps: int = 1,
+    halo_impl: str = "ppermute",
 ) -> Flow:
     """Solve HS flow with the image tiled over mesh axes ("y", "x").
 
@@ -146,11 +181,25 @@ def hs_solve_tiled(
     tiles clamp at the true image edges via masks, and the flow is cropped
     back to H x W — exactly equal to the untiled solve. Tiles (after
     padding) must be at least halo_sweeps+1 pixels on a side.
+
+    halo_impl: "ppermute" (default — XLA collective between Pallas
+    launches) or "rdma" (fused in-kernel remote-DMA exchange overlapped
+    with compute; requires TPU hardware, mesh x == 1, single pairs).
     """
     if mesh is None:
         raise ValueError("hs_solve_tiled requires a Mesh (dist.make_mesh)")
     if halo_sweeps < 1:
         raise ValueError("halo_sweeps must be >= 1")
+    if halo_impl not in ("ppermute", "rdma"):
+        raise ValueError("halo_impl must be 'ppermute' or 'rdma'")
+    if halo_impl == "rdma":
+        if mesh.shape["x"] != 1:
+            raise ValueError("halo_impl='rdma' needs a row-decomposed mesh (x == 1)")
+        if i1.ndim != 2:
+            raise ValueError("halo_impl='rdma' supports single (H, W) pairs")
+        if jax.default_backend() != "tpu":
+            raise ValueError("halo_impl='rdma' requires TPU hardware "
+                             "(remote DMA does not run in interpret mode)")
     batched = i1.ndim == 3
     h, w = i1.shape[-2:]
     my = mesh.shape["y"]
@@ -172,7 +221,7 @@ def hs_solve_tiled(
     sharding = NamedSharding(mesh, spec)
     i1 = jax.device_put(i1, sharding)
     i2 = jax.device_put(i2, sharding)
-    flow = _tiled_impl(i1, i2, cfg, halo_sweeps, mesh, batched, h, w)
+    flow = _tiled_impl(i1, i2, cfg, halo_sweeps, mesh, batched, h, w, halo_impl)
     if (hp, wp) != (h, w):
         flow = Flow(flow.u[..., :h, :w], flow.v[..., :h, :w])
     return flow

@@ -59,8 +59,11 @@ def load_gray(path: str | os.PathLike) -> np.ndarray:
         try:
             from PIL import Image
 
-            img = np.asarray(Image.open(path), dtype=np.float32)
-            if img.max() > 1.0:
+            pim = Image.open(path)
+            img = np.asarray(pim, dtype=np.float32)
+            if pim.mode in ("I", "I;16", "I;16B", "I;16L"):
+                img = img / 65535.0  # 16-bit samples scale by their own max
+            elif img.max() > 1.0:
                 img = img / 255.0
         except ImportError:
             import cv2

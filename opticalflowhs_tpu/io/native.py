@@ -70,15 +70,38 @@ def available() -> bool:
     return _load() is not None
 
 
+# hsio_codecs() capability bits
+CODEC_PNM = 1
+CODEC_OPENCV = 2  # PNG/JPEG/BMP/TIFF/... via OpenCV imgcodecs
+
+_PNM_EXTS = (".pgm", ".ppm", ".pnm")
+
+
+def codecs() -> int:
+    """Capability bitmask of the loaded library (0 when unavailable)."""
+    lib = _load()
+    if lib is None:
+        return 0
+    return int(lib.hsio_codecs())
+
+
+def can_decode(path: str) -> bool:
+    """True when the native library can decode this file's format."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in _PNM_EXTS:
+        return bool(codecs() & CODEC_PNM)
+    return bool(codecs() & CODEC_OPENCV)
+
+
 def _fp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 def load_gray(path: str) -> np.ndarray:
-    """Native PNM decode; falls back to io.images.load_gray otherwise."""
+    """Native decode (PNM always; PNG/JPEG/... when the library was built
+    with the OpenCV codecs); falls back to io.images.load_gray otherwise."""
     lib = _load()
-    ext = os.path.splitext(path)[1].lower()
-    if lib is None or ext not in (".pgm", ".ppm", ".pnm"):
+    if lib is None or not can_decode(path):
         from opticalflowhs_tpu.io.images import load_gray as py_load
 
         return py_load(path)

@@ -32,7 +32,7 @@ compile-unit FMA fusion, not formulation).
 Shifts use `pltpu.roll`: lane-dim rotates measured ~15% faster than
 slice+concat on v5e, and the wrapped column lands in the pad region or is
 where-fixed. The separable formulation halves lane-crossing traffic vs the
-direct 8-neighbor sum (tools/microbench_sweep*.py record the exploration).
+direct 8-neighbor sum (tools/archive/microbench_sweep*.py record the exploration).
 """
 
 from __future__ import annotations
@@ -116,7 +116,7 @@ def _cshift(a, shift: int, axis: int):
 
 def _shift(a, shift: int, axis: int):
     """Rotate: pltpu.roll where Mosaic supports it; bf16 roll fails to lower
-    (measured, tools/hw_bf16_diag.py) so bf16 uses the clamped concat shift
+    (measured, tools/archive/hw_bf16_diag.py) so bf16 uses the clamped concat shift
     — the boundary rows/cols differ from a true roll only where the edge
     masks override them or in discardable halo/pad regions."""
     if a.dtype == jnp.bfloat16:
@@ -316,6 +316,112 @@ def _sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w, interpret):
     return uv
 
 
+# -- batched banded path (HD+ video frames) -----------------------------------
+
+
+def _banded_kernel_b(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
+                     ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
+                     et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
+                     uo_ref, vo_ref, *, s: int, halo: int, band: int,
+                     h: int, w: int):
+    """Batched twin of _banded_kernel: grid (B, nb), every op covers one
+    band of one image; the batch grid dimension replaces the per-image
+    Python launch loop (and its optimization_barrier serialization)."""
+    i = pl.program_id(1)
+
+    def asm(band_ref, top_ref, bot_ref):
+        return jnp.concatenate([top_ref[0, 0], band_ref[0], bot_ref[0, 0]], axis=0)
+
+    u = asm(u_ref, ut_ref, ub_ref)
+    v = asm(v_ref, vt_ref, vb_ref)
+    ex = asm(ex_ref, ext_ref, exb_ref)
+    ey = asm(ey_ref, eyt_ref, eyb_ref)
+    et = asm(et_ref, ett_ref, etb_ref)
+    invd = asm(invd_ref, invdt_ref, invdb_ref)
+
+    th, wp = u.shape
+    local = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0)
+    gr = i * band - halo + local
+    gc = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
+    masks = _edge_masks(gr, gc, h, w, (False, False, True, w == wp))
+    for _k in range(s):
+        u, v = _kernel_step(u, v, ex, ey, et, invd, masks)
+    uo_ref[0] = u[halo : halo + band]
+    vo_ref[0] = v[halo : halo + band]
+
+
+def _banded_block_b(u, v, ex, ey, et, invd, inv_slabs, s, halo, band, h, w,
+                    interpret):
+    """One s-sweep launch over a (B, nb) grid of row bands."""
+    b, hp, wp = u.shape
+    nb = hp // band
+
+    def slabs(x):
+        r = x.reshape(b, nb, band, wp)
+        top = jnp.concatenate(
+            [r[:, :1, band - halo :], r[:, :-1, band - halo :]], axis=1
+        )
+        bot = jnp.concatenate([r[:, 1:, :halo], r[:, -1:, :halo]], axis=1)
+        return top, bot
+
+    ut, ub = slabs(u)
+    vt, vb = slabs(v)
+    (ext, exb), (eyt, eyb), (ett, etb), (invdt, invdb) = inv_slabs
+
+    band_spec = pl.BlockSpec(
+        (1, band, wp), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM
+    )
+    slab_spec = pl.BlockSpec(
+        (1, 1, halo, wp), lambda k, i: (k, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = jax.ShapeDtypeStruct((b, hp, wp), u.dtype)
+    return pl.pallas_call(
+        functools.partial(_banded_kernel_b, s=s, halo=halo, band=band, h=h, w=w),
+        grid=(b, nb),
+        out_shape=(out, out),
+        in_specs=[band_spec, slab_spec, slab_spec] * 6,
+        out_specs=(band_spec, band_spec),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(u, ut, ub, v, vt, vb, ex, ext, exb, ey, eyt, eyb,
+      et, ett, etb, invd, invdt, invdb)
+
+
+def _sweeps_banded_batched(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w,
+                           interpret):
+    b, hp, wp = u.shape
+    nb = hp // band
+    halo = _round_up(s, _sublane(u.dtype))
+
+    def inv_slab(x):
+        r = x.reshape(b, nb, band, wp)
+        return (
+            jnp.concatenate(
+                [r[:, :1, band - halo :], r[:, :-1, band - halo :]], axis=1
+            ),
+            jnp.concatenate([r[:, 1:, :halo], r[:, -1:, :halo]], axis=1),
+        )
+
+    inv_slabs = tuple(inv_slab(a) for a in (ex, ey, et, invd))
+
+    def block(uv, k):
+        return _banded_block_b(
+            uv[0], uv[1], ex, ey, et, invd, inv_slabs, k, halo, band, h, w,
+            interpret,
+        )
+
+    n_blocks, rem = divmod(n_sweeps, s)
+    uv = (u, v)
+    if n_blocks:
+        uv = jax.lax.fori_loop(0, n_blocks, lambda _, x: block(x, s), uv)
+    if rem:
+        uv = block(uv, rem)
+    return uv
+
+
 # -- batched whole-image path (video / DP workloads) --------------------------
 
 
@@ -327,24 +433,70 @@ def jacobi_sweeps_batched(
     et: jnp.ndarray,
     inv_den: jnp.ndarray,
     n_sweeps: int,
+    block_sweeps: int = 0,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused sweeps for a (B, H, W) stack of independent frame pairs.
 
     Small frames are per-op-dispatch-bound in Mosaic (~1us fixed cost per
-    full-array vector op — measured, see tools/microbench_sweep*.py), so the
+    full-array vector op — measured, see tools/archive/microbench_sweep*.py), so the
     batch is stacked into one (B*Hp, Wp) array: every vector op then covers
     B images, amortizing the fixed cost. Clamp masks use row % Hp so each
     image keeps its own boundary; rolls crossing image seams land in masked
     or pad rows. VMEM chunking splits B when the stack outgrows the budget.
+
+    Frames beyond the stacked-VMEM budget (HD and up) take the banded
+    temporally-blocked kernel with a (B, n_bands) grid — one launch per
+    s-sweep block for the WHOLE batch, same per-band working set as the
+    single-image banded path.
+
+    Differentiable via the same custom_vjp scheme as jacobi_sweeps (kernel
+    forward, vmapped jnp-twin VJP backward).
     """
     if u.ndim != 3:
         raise ValueError(f"jacobi_sweeps_batched expects (B, H, W), got {u.shape}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, h, w = u.shape
-    if n_sweeps == 0 or b == 0:
+    if n_sweeps == 0 or u.shape[0] == 0:
         return u, v
+    return _jacobi_sweeps_batched_ad(
+        u, v, ex, ey, et, inv_den, n_sweeps, block_sweeps, interpret
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _jacobi_sweeps_batched_ad(u, v, ex, ey, et, inv_den, n_sweeps,
+                              block_sweeps, interpret):
+    return _jacobi_sweeps_batched_impl(
+        u, v, ex, ey, et, inv_den, n_sweeps, block_sweeps, interpret
+    )
+
+
+def _jacobi_sweeps_batched_ad_fwd(u, v, ex, ey, et, inv_den, n_sweeps,
+                                  block_sweeps, interpret):
+    out = _jacobi_sweeps_batched_impl(
+        u, v, ex, ey, et, inv_den, n_sweeps, block_sweeps, interpret
+    )
+    return out, (u, v, ex, ey, et, inv_den)
+
+
+def _jacobi_sweeps_batched_ad_bwd(n_sweeps, block_sweeps, interpret, res, ct):
+    u, v, ex, ey, et, inv_den = res
+    _, vjp = jax.vjp(
+        jax.vmap(lambda *a: _jnp_sweeps(*a, n_sweeps)),
+        u, v, ex, ey, et, inv_den,
+    )
+    return vjp(ct)
+
+
+_jacobi_sweeps_batched_ad.defvjp(
+    _jacobi_sweeps_batched_ad_fwd, _jacobi_sweeps_batched_ad_bwd
+)
+
+
+def _jacobi_sweeps_batched_impl(u, v, ex, ey, et, inv_den, n_sweeps,
+                                block_sweeps, interpret):
+    b, h, w = u.shape
     sub = _sublane(u.dtype)
     hp = _round_up(h, sub)
     wp = _round_up(w, _LANE)
@@ -355,22 +507,23 @@ def jacobi_sweeps_batched(
     # effective limit is smaller than standalone (measured: a lone 720p
     # stack OOMs inside an 8x720p program). Stay conservative: stacked-VMEM
     # only for small frames, and cap the stack height; larger frames take
-    # the banded path per image (nearly as fast at that size).
+    # the batched banded path (same band working set as single-image).
     chunk = max(1, min(_VMEM_BUDGET // max(per_image, 1),
                        _BATCH_STACK_PX // max(hp * wp, 1)))
     if hp * wp * dtype_bytes > _BATCH_IMG_BYTES:
-        outs = []
-        for k in range(b):
-            # optimization_barrier: XLA must not fuse the pallas custom-call
-            # with the surrounding slicing/stacking — a fused kCustom op
-            # loses the kernel's vmem_limit override and trips the default
-            # ~19.5 MB scoped-vmem limit (measured on 8x720p batches).
-            args = jax.lax.optimization_barrier(
-                (u[k], v[k], ex[k], ey[k], et[k], inv_den[k])
-            )
-            o = jacobi_sweeps(*args, n_sweeps, interpret=interpret)
-            outs.append(jax.lax.optimization_barrier(o))
-        return (jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs]))
+        auto_band = _BAND_VMEM_BUDGET // (_BAND_ARRAYS * dtype_bytes * wp)
+        band = _BAND_ROWS or max(sub * 2, min(512, auto_band))
+        band = _round_up(min(band, _round_up(h, sub)), sub)
+        hpb = _round_up(h, band)
+        args = [
+            pad_to_tiles(a, hpb, wp) for a in (u, v, ex, ey, et, inv_den)
+        ]
+        s = block_sweeps if block_sweeps > 0 else _AUTO_BLOCK_SWEEPS
+        s = max(1, min(s, n_sweeps, band // 2))
+        uo, vo = _sweeps_banded_batched(
+            *args, n_sweeps, s, band, h, w, interpret
+        )
+        return uo[:, :h, :w], vo[:, :h, :w]
 
     args = [
         pad_to_tiles(a, hp, wp).reshape(-1, wp)  # (B*Hp, Wp)
@@ -456,6 +609,17 @@ def tile_sweeps(
 # -- public entry --------------------------------------------------------------
 
 
+def _jnp_sweeps(u, v, ex, ey, et, invd, n_sweeps):
+    """The jnp oracle twin of the kernels (same arithmetic to ~1 ulp);
+    fori_loop with a static trip count lowers to scan, so it is
+    reverse-differentiable — the backward pass below rides its VJP."""
+
+    def body(_, uv):
+        return stencils.jacobi_step(uv[0], uv[1], ex, ey, et, invd)
+
+    return jax.lax.fori_loop(0, n_sweeps, body, (u, v))
+
+
 def jacobi_sweeps(
     u: jnp.ndarray,
     v: jnp.ndarray,
@@ -472,6 +636,13 @@ def jacobi_sweeps(
     Strategy by padded-image VMEM footprint: whole-image VMEM residency when
     it fits (one launch, all sweeps on-chip), else temporally-blocked row
     bands streaming HBM once per `block_sweeps` sweeps (0 = auto -> 8).
+
+    Differentiable: a custom_vjp runs the Mosaic kernel forward and the VJP
+    of the jnp twin backward (each sweep is affine in (u, v) with a fixed
+    linear operator, but gradients w.r.t. the ex/ey/et/inv_den fields need
+    the per-sweep intermediates, so the backward recomputes the forward as
+    a scan). Since kernel == jnp to ~1 ulp, gradients equal the jnp
+    backend's exactly.
     """
     if u.ndim != 2:
         raise ValueError(f"jacobi_sweeps expects 2-D fields, got {u.shape}")
@@ -479,6 +650,49 @@ def jacobi_sweeps(
         interpret = jax.default_backend() != "tpu"
     if n_sweeps == 0:
         return u, v
+    return _jacobi_sweeps_ad(
+        u, v, ex, ey, et, inv_den, n_sweeps, block_sweeps, interpret
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _jacobi_sweeps_ad(u, v, ex, ey, et, inv_den, n_sweeps, block_sweeps,
+                      interpret):
+    return _jacobi_sweeps_impl(
+        u, v, ex, ey, et, inv_den, n_sweeps, block_sweeps, interpret
+    )
+
+
+def _jacobi_sweeps_ad_fwd(u, v, ex, ey, et, inv_den, n_sweeps, block_sweeps,
+                          interpret):
+    out = _jacobi_sweeps_impl(
+        u, v, ex, ey, et, inv_den, n_sweeps, block_sweeps, interpret
+    )
+    return out, (u, v, ex, ey, et, inv_den)
+
+
+def _jacobi_sweeps_ad_bwd(n_sweeps, block_sweeps, interpret, res, ct):
+    u, v, ex, ey, et, inv_den = res
+    _, vjp = jax.vjp(
+        lambda *a: _jnp_sweeps(*a, n_sweeps), u, v, ex, ey, et, inv_den
+    )
+    return vjp(ct)
+
+
+_jacobi_sweeps_ad.defvjp(_jacobi_sweeps_ad_fwd, _jacobi_sweeps_ad_bwd)
+
+
+def _jacobi_sweeps_impl(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    et: jnp.ndarray,
+    inv_den: jnp.ndarray,
+    n_sweeps: int,
+    block_sweeps: int = 0,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     h, w = u.shape
     sub = _sublane(u.dtype)
     wp = _round_up(w, _LANE)

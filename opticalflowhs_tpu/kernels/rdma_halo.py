@@ -3,18 +3,30 @@
 The production tiled solver exchanges halos with `lax.ppermute` between
 Pallas sweep launches (dist/halo.py) — XLA schedules the collective. This
 module is the fused alternative: the halo rows move chip-to-chip with
-`pltpu.make_async_remote_copy` *inside* a Pallas kernel, the building block
-for overlapping halo transfer with interior compute on a pod slice.
+`pltpu.make_async_remote_copy` *inside* a Pallas kernel.
+
+Two layers:
+
+  * `ring_halo_exchange` — the standalone exchange primitive (round 1).
+  * `ring_fused_sweeps` — the FUSED solver hot loop: ONE kernel launch runs
+    all n Jacobi sweeps, exchanging a sigma-row u/v halo every s sweeps
+    in-kernel and overlapping each transfer with the first sweep of the
+    block on the halo-independent interior rows (SURVEY.md §2c "overlap
+    comm with the interior-pixel sweep"). Routed from
+    `hs_solve_tiled(halo_impl="rdma")` for 1-D row-decomposed meshes.
 
 Ring semantics (periodic): chip i's top halo comes from chip i-1's bottom
 rows and vice versa. On a 1-chip mesh the ring degenerates to self — the
-exact same RDMA path — which is what the hardware test asserts here
+exact same RDMA path — which is what the hardware tests assert here
 (a real multi-chip ring exercises the identical code on a pod slice).
-The non-periodic clamp used by the solver is applied by the caller exactly
-as dist/halo.py does (replicate at the global boundary).
+The non-periodic global boundary needs no special halo content: the solver
+clamps at the true image edge via masks (kernels/jacobi.py), so at the top/
+bottom of the ring the wrapped-around halo rows are garbage that true
+pixels never read and that decays in the discarded ring (same argument as
+the banded kernel's slabs).
 
 Not supported in interpret mode (remote DMA needs real hardware), so this
-stays a separately-tested building block rather than the default path.
+stays a separately-(hardware-)tested path rather than the CI default.
 """
 
 from __future__ import annotations
@@ -25,6 +37,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from opticalflowhs_tpu.kernels.jacobi import (
+    _edge_masks,
+    _kernel_step,
+    _round_up,
+    pad_to_tiles,
+)
 
 
 def _halo_kernel(x_ref, o_ref, comm, send_up_sem, send_dn_sem,
@@ -92,3 +111,181 @@ def ring_halo_exchange(tile: jnp.ndarray, halo: int, axis_name: str = "y"):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile)
+
+
+# -- fused solver hot loop: in-kernel exchange + sweeps, transfer overlapped --
+
+
+def _step_rows(u, v, ex, ey, et, invd, mask_fn, r0: int, r1: int):
+    """Rows [r0, r1) of one Jacobi sweep, reading rows [r0-1, r1+1).
+
+    Masks come from `mask_fn` (fresh iotas per strip) rather than slicing a
+    precomputed full-extent mask: Mosaic stores row-constant boolean masks
+    in a broadcast layout whose strided-slice lowering check-fails."""
+    sl = slice(r0 - 1, r1 + 1)
+    mu = mask_fn(r0 - 1, r1 + 1)
+    uu, vv = _kernel_step(u[sl], v[sl], ex[sl], ey[sl], et[sl], invd[sl], mu)
+    return uu[1:-1], vv[1:-1]
+
+
+def _fused_kernel(row0_ref, u0_ref, v0_ref, ex_ref, ey_ref, et_ref, invd_ref,
+                  uo_ref, vo_ref,
+                  uw, vw, ucomm, vcomm,
+                  su_up, su_dn, ru_top, ru_bot,
+                  sv_up, sv_dn, rv_top, rv_bot,
+                  *, n_blocks: int, s: int, rem: int, sigma: int, th: int,
+                  hglob: int, wglob: int, axis_name: str):
+    n = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    up = jax.lax.rem(me - 1 + n, n)
+    dn = jax.lax.rem(me + 1, n)
+    hp2, wp = uw.shape  # th + 2*sigma
+
+    ex, ey = ex_ref[...], ey_ref[...]
+    et, invd = et_ref[...], invd_ref[...]
+
+    def mask_fn(r0: int, r1: int):
+        # True-edge clamp masks for working rows [r0, r1): left col is the
+        # array edge (no left pad); top/bottom array edges are halo rows,
+        # never the true image edge. Fresh iotas per extent (see _step_rows).
+        rows = r1 - r0
+        gr = (row0_ref[0] - sigma + r0
+              + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0))
+        gc = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+        return _edge_masks(gr, gc, hglob, wglob,
+                           (False, False, True, wglob == wp))
+
+    masks = mask_fn(0, hp2)
+
+    uw[pl.ds(sigma, th)] = u0_ref[...]
+    vw[pl.ds(sigma, th)] = v0_ref[...]
+
+    def run_block(s_blk: int):
+        # Exchange sigma-row u/v halos with both ring neighbors; overlap the
+        # transfer with sweep 1 on the halo-independent interior rows.
+        dmas = []
+        for buf, comm, s_up, s_dn, r_top, r_bot in (
+            (uw, ucomm, su_up, su_dn, ru_top, ru_bot),
+            (vw, vcomm, sv_up, sv_dn, rv_top, rv_bot),
+        ):
+            dmas.append(pltpu.make_async_remote_copy(
+                src_ref=buf.at[pl.ds(sigma, sigma)],      # my top owned rows
+                dst_ref=comm.at[1],                       # -> up's bottom halo
+                send_sem=s_up, recv_sem=r_bot, device_id=up,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ))
+            dmas.append(pltpu.make_async_remote_copy(
+                src_ref=buf.at[pl.ds(th, sigma)],         # my bottom owned rows
+                dst_ref=comm.at[0],                       # -> down's top halo
+                send_sem=s_dn, recv_sem=r_top, device_id=dn,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ))
+        for d in dmas:
+            d.start()
+        # Sweep 1, interior: rows [sigma+1, sigma+th-1) read only owned
+        # pre-sweep rows [sigma, sigma+th) — no halo dependence.
+        u_pre, v_pre = uw[...], vw[...]
+        u1i, v1i = _step_rows(
+            u_pre, v_pre, ex, ey, et, invd, mask_fn, sigma + 1, sigma + th - 1
+        )
+        for d in dmas:
+            d.wait()
+        uw[pl.ds(0, sigma)] = ucomm[0]
+        uw[pl.ds(sigma + th, sigma)] = ucomm[1]
+        vw[pl.ds(0, sigma)] = vcomm[0]
+        vw[pl.ds(sigma + th, sigma)] = vcomm[1]
+        # Sweep 1, halo-adjacent strips (fresh halos + untouched pre-sweep
+        # owned rows are both still in uw/vw).
+        u_all, v_all = uw[...], vw[...]
+        u1t, v1t = _step_rows(
+            u_all, v_all, ex, ey, et, invd, mask_fn, 1, sigma + 1
+        )
+        u1b, v1b = _step_rows(
+            u_all, v_all, ex, ey, et, invd, mask_fn, sigma + th - 1, hp2 - 1
+        )
+        u1 = jnp.concatenate([u_all[:1], u1t, u1i, u1b, u_all[-1:]], axis=0)
+        v1 = jnp.concatenate([v_all[:1], v1t, v1i, v1b, v_all[-1:]], axis=0)
+        # Sweeps 2..s_blk: fully local, valid extent decays one ring/sweep
+        # while the owned rows stay exact (sigma >= s_blk).
+        for _ in range(s_blk - 1):
+            u1, v1 = _kernel_step(u1, v1, ex, ey, et, invd, masks)
+        uw[...] = u1
+        vw[...] = v1
+
+    if n_blocks > 0:
+        def body(_, c):
+            run_block(s)
+            return c
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+    if rem:
+        run_block(rem)
+
+    uo_ref[...] = uw[pl.ds(sigma, th)]
+    vo_ref[...] = vw[pl.ds(sigma, th)]
+
+
+def ring_fused_sweeps(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    exh: jnp.ndarray,
+    eyh: jnp.ndarray,
+    eth: jnp.ndarray,
+    invdh: jnp.ndarray,
+    n_sweeps: int,
+    block_sweeps: int,
+    row0,
+    hglob: int,
+    wglob: int,
+    axis_name: str = "y",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All n sweeps of one chip's row-decomposed tile in ONE kernel launch,
+    with in-kernel remote-DMA halo exchange every `block_sweeps` sweeps and
+    transfer/compute overlap (SURVEY.md §2c advanced path; the ppermute
+    twin is dist/tiled_solver.py's hot loop).
+
+    u, v: (th, tw) owned tile; exh/eyh/eth/invdh: (th + 2*sigma, tw)
+    halo-extended loop-invariant fields, sigma = round_up(block_sweeps, 8)
+    (exchanged once by the caller — they never change). `row0` (traced) is
+    the global row of owned row 0; clamps fire at the true (hglob, wglob)
+    edges. Must run inside shard_map with `axis_name` bound, mesh x-size 1.
+    TPU hardware only (remote DMA does not interpret).
+    """
+    th, tw = u.shape
+    s = max(1, min(block_sweeps, n_sweeps))
+    sigma = _round_up(s, 8)
+    if exh.shape[0] != th + 2 * sigma:
+        raise ValueError(
+            f"fields must carry a {sigma}-row halo: got {exh.shape[0]} rows "
+            f"for a {th}-row tile"
+        )
+    if n_sweeps == 0:
+        return u, v
+    wp = _round_up(tw, 128)
+    u, v = pad_to_tiles(u, th, wp), pad_to_tiles(v, th, wp)
+    fields = [pad_to_tiles(a, th + 2 * sigma, wp) for a in (exh, eyh, eth, invdh)]
+    n_blocks, rem = divmod(n_sweeps, s)
+    out = jax.ShapeDtypeStruct((th, wp), u.dtype)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    uo, vo = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, n_blocks=n_blocks, s=s, rem=rem, sigma=sigma,
+            th=th, hglob=hglob, wglob=wglob, axis_name=axis_name,
+        ),
+        out_shape=(out, out),
+        in_specs=[sspec] + [vspec] * 6,
+        out_specs=(vspec, vspec),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * sigma, wp), u.dtype),
+            pltpu.VMEM((th + 2 * sigma, wp), u.dtype),
+            pltpu.VMEM((2, sigma, wp), u.dtype),
+            pltpu.VMEM((2, sigma, wp), u.dtype),
+        ] + [pltpu.SemaphoreType.DMA(())] * 8,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # Whole-tile VMEM residency, like the _sweeps_vmem kernel: lift
+            # the default ~19.5 MB scoped-vmem limit (kernels/jacobi.py).
+            vmem_limit_bytes=100 * 1024 * 1024 + 8 * 1024 * 1024,
+        ),
+    )(jnp.asarray(row0, jnp.int32).reshape(1), u, v, *fields)
+    return uo[:, :tw], vo[:, :tw]

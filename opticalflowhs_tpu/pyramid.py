@@ -8,7 +8,7 @@ clamped), solve HS on (I1, I2w) for the residual, add.
 
 TPU notes (SURVEY.md §7 hard parts): the warp is a dense 2-D gather and TPUs
 have no texture unit. XLA's per-element gather runs at scalar-fetch speed
-(62 ms for one 1080p warp on v5e — measured, tools/hw_pyramid_profile.py),
+(62 ms for one 1080p warp on v5e — measured, tools/archive/hw_pyramid_profile.py),
 so the default lowering is `warp_bilinear_tiled`: one coarse block fetch per
 (32, 128) tile at the tile's rounded-mean displacement + an exact local
 select loop — ~12x faster, exact for the smooth flows HS produces
@@ -104,8 +104,17 @@ def warp_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     flat = img.reshape(img.shape[:-2] + (h * w,))
 
     def gather(yi, xi):
-        idx = (yi * w + xi).reshape(-1)
-        return jnp.take(flat, idx, axis=-1).reshape(img.shape[:-2] + (h, w))
+        idx = yi * w + xi
+        if idx.ndim == 2:  # one flow field (shared across any img batch)
+            return jnp.take(flat, idx.reshape(-1), axis=-1).reshape(
+                img.shape[:-2] + (h, w)
+            )
+        # batched flow: gather each batch element's own indices
+        idx = jnp.broadcast_to(idx, img.shape[:-2] + (h, w))
+        idx = idx.reshape(img.shape[:-2] + (h * w,))
+        return jnp.take_along_axis(flat, idx, axis=-1).reshape(
+            img.shape[:-2] + (h, w)
+        )
 
     p00 = gather(y0i, x0i)
     p01 = gather(y0i, x1i)

@@ -1,0 +1,84 @@
+"""Mesh-sharded pyramid == untiled pyramid (SURVEY.md §3.3/§3.5; the
+config-5 completeness invariant): the full coarse-to-fine pipeline —
+sharded downsample, upsample, warp, and per-level tiled solves — must
+reproduce hs_pyramid to float tolerance at several mesh shapes, including
+geometries whose levels do not divide the mesh."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opticalflowhs_tpu.config import HSConfig, MeshConfig, PyramidConfig
+from opticalflowhs_tpu.data.synthetic import translation_pair
+from opticalflowhs_tpu.dist import hs_pyramid_tiled, make_mesh
+from opticalflowhs_tpu.metrics import epe, interior
+from opticalflowhs_tpu.pyramid import hs_pyramid
+
+CFG = HSConfig(alpha=0.5, iters=12, backend="jnp")
+PYR = PyramidConfig(levels=3)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    i1, i2, gt = translation_pair(64, 96, 3.0, 1.0, key=13)
+    return jnp.asarray(i1), jnp.asarray(i2), gt
+
+
+@pytest.mark.parametrize("my,mx", [(1, 1), (2, 4), (8, 1), (2, 2)])
+def test_pyramid_tiled_matches_untiled(pair, my, mx):
+    i1, i2, _ = pair
+    mesh = make_mesh(MeshConfig(batch=1, y=my, x=mx))
+    ref = hs_pyramid(i1, i2, CFG, PYR)
+    f = hs_pyramid_tiled(i1, i2, CFG, PYR, mesh=mesh, halo_sweeps=2)
+    np.testing.assert_allclose(np.asarray(f.u), np.asarray(ref.u), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(f.v), np.asarray(ref.v), atol=5e-6)
+
+
+@pytest.mark.parametrize("shape", [(67, 93), (61, 127)])
+def test_pyramid_tiled_odd_shapes(shape):
+    """Levels of odd sizes (ceil-halving) pad-and-mask onto the mesh."""
+    h, w = shape
+    rng = np.random.default_rng(3)
+    i1 = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    mesh = make_mesh(MeshConfig(batch=1, y=2, x=4))
+    ref = hs_pyramid(i1, i2, CFG, PYR)
+    f = hs_pyramid_tiled(i1, i2, CFG, PYR, mesh=mesh, halo_sweeps=3)
+    assert f.u.shape == (h, w)
+    np.testing.assert_allclose(np.asarray(f.u), np.asarray(ref.u), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(f.v), np.asarray(ref.v), atol=5e-6)
+
+
+def test_pyramid_tiled_pallas_interpret(pair):
+    """Per-shard Pallas tile kernels inside the sharded pyramid (interpret
+    mode on CPU) == untiled jnp pyramid."""
+    i1, i2, _ = pair
+    cfg = HSConfig(alpha=0.5, iters=12, backend="pallas")
+    mesh = make_mesh(MeshConfig(batch=1, y=2, x=4))
+    ref = hs_pyramid(i1, i2, CFG, PYR)
+    f = hs_pyramid_tiled(i1, i2, cfg, PYR, mesh=mesh, halo_sweeps=2)
+    np.testing.assert_allclose(np.asarray(f.u), np.asarray(ref.u), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(f.v), np.asarray(ref.v), atol=5e-6)
+
+
+def test_pyramid_tiled_batched(pair):
+    """(B, H, W) stacks: DP over "batch" x TP over ("y", "x")."""
+    i1, i2, _ = pair
+    b1 = jnp.stack([i1, i2, i1, i2])
+    b2 = jnp.stack([i2, i1, i2, i1])
+    mesh = make_mesh(MeshConfig(batch=2, y=2, x=2))
+    ref = hs_pyramid(b1, b2, CFG, PYR)
+    f = hs_pyramid_tiled(b1, b2, CFG, PYR, mesh=mesh, halo_sweeps=2)
+    np.testing.assert_allclose(np.asarray(f.u), np.asarray(ref.u), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(f.v), np.asarray(ref.v), atol=5e-6)
+
+
+def test_pyramid_tiled_recovers_large_displacement(pair):
+    """End-to-end sanity: the sharded pyramid recovers a 3 px shift that
+    single-level HS at these iteration counts cannot."""
+    i1, i2, gt = pair
+    mesh = make_mesh(MeshConfig(batch=1, y=2, x=4))
+    cfg = HSConfig(alpha=0.5, iters=60, backend="jnp")
+    f = hs_pyramid_tiled(i1, i2, cfg, PYR, mesh=mesh, halo_sweeps=2)
+    fl = np.stack([np.asarray(f.u), np.asarray(f.v)], axis=-1)
+    assert float(epe(interior(fl, 8), interior(gt, 8))) < 0.6

@@ -4,6 +4,7 @@ reference cannot offer: gradients flow through the whole fixed-point solve
 photometric-loss pipelines on top of the engine."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,3 +46,53 @@ def test_jvp_matches_finite_difference():
     fd = (f(i1 + eps * d) - f(i1 - eps * d)) / (2 * eps)
     # fp32 central differences carry ~1e-2 relative noise at this scale
     np.testing.assert_allclose(float(jvp), float(fd), rtol=5e-2, atol=1e-4)
+
+
+def test_grad_pallas_backend_matches_jnp():
+    """The Pallas sweep kernels carry a custom_vjp (kernel forward, jnp-twin
+    VJP backward), so gradients flow through the production TPU path and
+    equal the jnp backend's (interpret mode on CPU; the real kernel under
+    HSFLOW_TEST_TPU=1 runs the same code)."""
+    i1, i2, _ = translation_pair(16, 32, 1.0, 0.0, key=6)
+    i1 = jnp.asarray(i1)
+    i2 = jnp.asarray(i2)
+
+    def loss_fn(cfg):
+        def loss(a, b):
+            f = hs_solve(a, b, cfg)
+            return jnp.mean(f.u**2) + jnp.mean(f.v**2)
+        return loss
+
+    gj1, gj2 = jax.grad(loss_fn(HSConfig(alpha=0.5, iters=8, backend="jnp")),
+                        argnums=(0, 1))(i1, i2)
+    gp1, gp2 = jax.grad(loss_fn(HSConfig(alpha=0.5, iters=8, backend="pallas")),
+                        argnums=(0, 1))(i1, i2)
+    assert float(jnp.abs(gp1).max()) > 0
+    np.testing.assert_allclose(np.asarray(gp1), np.asarray(gj1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp2), np.asarray(gj2), atol=1e-5)
+
+
+def test_grad_batched_pallas_matches_jnp():
+    """Gradients through the batched stacked/banded kernels == vmapped jnp."""
+    from opticalflowhs_tpu.batch import hs_solve_batched
+
+    i1, i2, _ = translation_pair(16, 32, 1.0, 0.0, key=9)
+    b1 = jnp.stack([jnp.asarray(i1)] * 2)
+    b2 = jnp.stack([jnp.asarray(i2)] * 2)
+
+    def loss_fn(cfg):
+        def loss(a, b):
+            f = hs_solve_batched(a, b, cfg)
+            return jnp.mean(f.u**2)
+        return loss
+
+    gj = jax.grad(loss_fn(HSConfig(alpha=0.5, iters=6, backend="jnp")))(b1, b2)
+    gp = jax.grad(loss_fn(HSConfig(alpha=0.5, iters=6, backend="pallas")))(b1, b2)
+    assert float(jnp.abs(gp).max()) > 0
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj), atol=1e-5)
+
+
+@pytest.mark.tpu
+def test_grad_pallas_real_kernel_matches_jnp():
+    """Same as above but through the real Mosaic kernel on hardware."""
+    test_grad_pallas_backend_matches_jnp()

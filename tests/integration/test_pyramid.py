@@ -106,3 +106,19 @@ class TestCoarseToFine:
             jnp.asarray(i1), jnp.asarray(i2), cfg,
             PyramidConfig(levels=2, iters_per_level=(20, 40)),
         )
+
+
+def test_warp_bilinear_batched_matches_vmap():
+    """Batched (B, H, W) warp with per-batch flows must equal a vmap of the
+    2-D warp (regression: the batched gather used wrong indexing)."""
+    import jax
+    import jax.numpy as jnp
+    from opticalflowhs_tpu.pyramid import warp_bilinear
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.uniform(0, 1, (3, 17, 23)).astype(np.float32))
+    u = jnp.asarray(rng.uniform(-2, 2, (3, 17, 23)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-2, 2, (3, 17, 23)).astype(np.float32))
+    got = warp_bilinear(img, u, v)
+    want = jax.vmap(warp_bilinear)(img, u, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

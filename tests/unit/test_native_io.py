@@ -139,3 +139,66 @@ def test_corrupt_flo_dims_rejected(hsio, tmp_path):
             f.write(struct.pack("<fii", 202021.25, w, h))
         with pytest.raises(Exception):
             hsio.read_flo(p)
+
+
+@pytest.fixture(scope="session")
+def hsio_cv(hsio):
+    if not (hsio.codecs() & hsio.CODEC_OPENCV):
+        pytest.skip("libhsio built without the OpenCV codecs")
+    return hsio
+
+
+def test_png_gray_matches_python(hsio_cv, tmp_path):
+    """Native PNG decode (grayscale) == PIL path, bit-for-bit scaling."""
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 1, (21, 33)).astype(np.float32)
+    p = str(tmp_path / "g.png")
+    pyimages.save_image(p, img)
+    a = hsio_cv.load_gray(p)
+    b = pyimages.load_gray(p)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert a.shape == (21, 33)
+
+
+def test_png_color_matches_python(hsio_cv, tmp_path):
+    """Native PNG decode (RGB) == PIL path: identical float BT.601 luma."""
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (14, 19, 3)).astype(np.float32)
+    p = str(tmp_path / "c.png")
+    pyimages.save_image(p, img)
+    a = hsio_cv.load_gray(p)
+    b = pyimages.load_gray(p)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_png_probe_header_only(hsio_cv, tmp_path):
+    """hsio_probe reads PNG dimensions from the IHDR without a full decode."""
+    import ctypes
+
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 1, (9, 31)).astype(np.float32)
+    p = str(tmp_path / "p.png")
+    pyimages.save_image(p, img)
+    lib = hsio_cv._load()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    assert lib.hsio_probe(p.encode(), ctypes.byref(w), ctypes.byref(h)) == 0
+    assert (w.value, h.value) == (31, 9)
+
+
+def test_stream_frames_over_png_dir(hsio_cv, tmp_path):
+    """The threaded prefetch loader streams PNG directories (config 4 no
+    longer falls back to synchronous Python decode for PNG)."""
+    rng = np.random.default_rng(5)
+    paths = []
+    ref = []
+    for k in range(6):
+        img = rng.uniform(0, 1, (12, 16)).astype(np.float32)
+        p = str(tmp_path / f"f_{k:03d}.png")
+        pyimages.save_image(p, img)
+        paths.append(p)
+        ref.append(pyimages.load_gray(p))
+    got = list(hsio_cv.stream_frames(paths, n_threads=3, prefetch=2))
+    assert len(got) == 6
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a, b, atol=1e-6)

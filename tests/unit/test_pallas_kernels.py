@@ -140,3 +140,25 @@ def test_fuzz_random_shapes_vs_oracle(seed):
     ur, vr = _oracle_sweeps(u, v, ex, ey, et, invd, n)
     np.testing.assert_allclose(np.asarray(uo), np.asarray(ur), atol=2e-6)
     np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), atol=2e-6)
+
+
+@pytest.mark.parametrize("n_sweeps,bs", [(6, 2), (7, 3)])
+def test_batched_banded_kernel_matches_per_image(monkeypatch, n_sweeps, bs):
+    """(B, nb)-grid banded kernel (frames beyond the stacked-VMEM budget)
+    == per-image oracle, including remainder sweep blocks and row counts
+    that do not divide the band."""
+    b, shape = 3, (49, 160)
+    # Force the banded route (tiny per-image byte threshold) and several
+    # bands per image (tiny per-band budget -> band = 2*sublane = 16 rows).
+    monkeypatch.setattr(jk, "_BATCH_IMG_BYTES", 1)
+    monkeypatch.setattr(jk, "_BAND_VMEM_BUDGET", 1)
+    probs = [_problem(*shape, seed=30 + k) for k in range(b)]
+    stacks = [jnp.stack([p[i] for p in probs]) for i in range(6)]
+    uo, vo = jk.jacobi_sweeps_batched(
+        *stacks, n_sweeps, block_sweeps=bs, interpret=True
+    )
+    assert uo.shape == (b, *shape)
+    for k in range(b):
+        ur, vr = _oracle_sweeps(*probs[k], n_sweeps)
+        np.testing.assert_allclose(np.asarray(uo[k]), np.asarray(ur), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(vo[k]), np.asarray(vr), atol=2e-6)

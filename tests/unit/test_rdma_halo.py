@@ -48,3 +48,27 @@ def test_ring_halo_exchange_validation():
         ring_halo_exchange(jnp.zeros((32, 128)), 3)
     with pytest.raises(ValueError, match="exceeds tile"):
         ring_halo_exchange(jnp.zeros((8, 128)), 16)
+
+
+@pytest.mark.parametrize("iters,s", [(12, 4), (13, 5), (3, 8)])
+def test_ring_fused_sweeps_degenerate_matches_untiled(iters, s):
+    """Fused in-kernel-RDMA solver (one launch, exchange overlapped with
+    interior sweeps) == untiled jnp solve on the degenerate 1-chip ring —
+    the identical code a pod-slice ring runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflowhs_tpu.config import HSConfig, MeshConfig
+    from opticalflowhs_tpu.dist import hs_solve_tiled, make_mesh
+    from opticalflowhs_tpu.solver import hs_solve
+
+    rng = np.random.default_rng(17)
+    i1 = jnp.asarray(rng.uniform(0, 1, (63, 130)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (63, 130)).astype(np.float32))
+    cfg = HSConfig(alpha=0.5, iters=iters, backend="pallas")
+    mesh = make_mesh(MeshConfig(batch=1, y=1, x=1))
+    f = hs_solve_tiled(i1, i2, cfg, mesh=mesh, halo_sweeps=s, halo_impl="rdma")
+    r = hs_solve(i1, i2, HSConfig(alpha=0.5, iters=iters, backend="jnp"))
+    du = float(jnp.abs(f.u - r.u).max())
+    dv = float(jnp.abs(f.v - r.v).max())
+    assert max(du, dv) <= 2e-6, (du, dv)
