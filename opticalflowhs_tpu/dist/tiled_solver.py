@@ -209,6 +209,10 @@ def hs_solve_tiled(
             f"batch {i1.shape[0]} not divisible by mesh batch {mesh.shape['batch']}"
         )
     hp, wp = _round_up(h, my), _round_up(w, mx)
+    if halo_impl == "rdma":
+        # In-kernel DMA slices must start at sublane-aligned rows: make each
+        # tile height a multiple of 8 (the extra rows are masked pad).
+        hp = _round_up(h, my * 8)
     if hp // my <= halo_sweeps or wp // mx <= halo_sweeps:
         raise ValueError(
             f"tile {hp // my}x{wp // mx} too small for halo_sweeps={halo_sweeps}"

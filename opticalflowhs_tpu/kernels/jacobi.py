@@ -59,13 +59,29 @@ _UNROLL = int(os.environ.get("HSFLOW_SWEEP_UNROLL", "1"))
 _BAND_ROWS = int(os.environ.get("HSFLOW_BAND_ROWS", "0"))  # 0 = auto by width
 _BATCH_STACK_PX = 1_300_000     # max stacked pixels per batched-VMEM chunk
 _BATCH_IMG_BYTES = 2_400_000    # frames above ~0.6 Mpx fp32: banded per image
-_BAND_VMEM_BUDGET = 60 * 1024 * 1024   # per-band working set target
 _BAND_ARRAYS = 20                      # assembled fields + temporaries
 _AUTO_BLOCK_SWEEPS = 16    # banded-path temporal blocking when cfg says auto
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _pick_band(h: int, wp: int, dtype_bytes: int, sub: int, s_hint: int) -> int:
+    """Band height for the banded kernels: as TALL as the VMEM budget
+    allows, then shrunk to divide the (sublane-rounded) image height as
+    evenly as possible — pad rows are pure wasted compute (measured 11%
+    of 1080p at the old fixed sizing; docs/PERFORMANCE.md round 2)."""
+    if _BAND_ROWS:
+        return _round_up(min(_BAND_ROWS, _round_up(h, sub)), sub)
+    halo = _round_up(max(1, s_hint), sub)
+    unit = wp * dtype_bytes * _BAND_ARRAYS
+    band_max = max(2 * sub, _VMEM_BUDGET // unit - 2 * halo)
+    h_units = -(-h // sub)                      # height in sublane units
+    bu_max = max(2, band_max // sub)
+    nb = -(-h_units // bu_max)                  # fewest bands that fit VMEM
+    units = -(-h_units // nb)                   # even split -> minimal pad
+    return units * sub
 
 
 def _sublane(dtype) -> int:
@@ -217,10 +233,11 @@ def _sweeps_vmem(u, v, ex, ey, et, invd, n_sweeps, h, w, interpret,
 # -- temporally-blocked banded path -------------------------------------------
 
 
-def _banded_kernel(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
+def _banded_kernel(r0_ref, c0_ref, u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
                    ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
                    et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
-                   uo_ref, vo_ref, *, s: int, halo: int, band: int, h: int, w: int):
+                   uo_ref, vo_ref, *, s: int, halo: int, band: int, h: int,
+                   w: int, aligned_lr: tuple):
     i = pl.program_id(0)
 
     def asm(band_ref, top_ref, bot_ref):
@@ -235,11 +252,14 @@ def _banded_kernel(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
 
     th, wp = u.shape  # (band + 2*halo, Wp); halo >= s (sublane-rounded)
     local = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0)
-    gr = i * band - halo + local
-    gc = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
-    # rows cross band halos -> masks; col 0 is the true left edge, and the
-    # right edge coincides when the width needed no lane padding.
-    masks = _edge_masks(gr, gc, h, w, (False, False, True, w == wp))
+    # (r0, c0): global coordinates of array element (0, 0) — zero for whole
+    # images, the halo-padded tile origin for the distributed big-tile path.
+    gr = r0_ref[0] + i * band - halo + local
+    gc = c0_ref[0] + jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
+    # rows cross band halos -> masks; column alignment is the caller's call
+    # (whole images: col 0 is the true left edge, right edge coincides when
+    # no lane padding was needed; tiles: both columns need masks).
+    masks = _edge_masks(gr, gc, h, w, (False, False) + aligned_lr)
     for _k in range(s):
         u, v = _kernel_step(u, v, ex, ey, et, invd, masks)
     uo_ref[...] = u[halo : halo + band]
@@ -247,7 +267,7 @@ def _banded_kernel(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
 
 
 def _banded_block(u, v, ex, ey, et, invd, inv_slabs, s, halo, band, h, w,
-                  interpret):
+                  interpret, row0, col0, aligned_lr):
     """One s-sweep launch over row bands with `halo`-row halo slabs.
 
     halo = round_up(s, sublane) so slab blocks satisfy the (8,128)/(16,128)
@@ -270,26 +290,33 @@ def _banded_block(u, v, ex, ey, et, invd, inv_slabs, s, halo, band, h, w,
 
     band_spec = pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
     slab_spec = pl.BlockSpec((1, halo, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
     return pl.pallas_call(
-        functools.partial(_banded_kernel, s=s, halo=halo, band=band, h=h, w=w),
+        functools.partial(_banded_kernel, s=s, halo=halo, band=band, h=h, w=w,
+                          aligned_lr=aligned_lr),
         grid=(nb,),
         out_shape=(out, out),
-        in_specs=[band_spec, slab_spec, slab_spec] * 6,
+        in_specs=[sspec, sspec] + [band_spec, slab_spec, slab_spec] * 6,
         out_specs=(band_spec, band_spec),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(u, ut, ub, v, vt, vb, ex, ext, exb, ey, eyt, eyb,
+    )(jnp.asarray(row0, jnp.int32).reshape(1),
+      jnp.asarray(col0, jnp.int32).reshape(1),
+      u, ut, ub, v, vt, vb, ex, ext, exb, ey, eyt, eyb,
       et, ett, etb, invd, invdt, invdb)
 
 
-def _sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w, interpret):
+def _sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w, interpret,
+                   row0=0, col0=0, aligned_lr=None):
     hp, wp = u.shape
     nb = hp // band
     halo = _round_up(s, _sublane(u.dtype))
+    if aligned_lr is None:
+        aligned_lr = (True, w == wp)
 
     def inv_slab(x):
         b = x.reshape(nb, band, wp)
@@ -304,7 +331,7 @@ def _sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w, interpret):
     def block(uv, k):
         return _banded_block(
             uv[0], uv[1], ex, ey, et, invd, inv_slabs, k, halo, band, h, w,
-            interpret,
+            interpret, row0, col0, aligned_lr,
         )
 
     n_blocks, rem = divmod(n_sweeps, s)
@@ -511,9 +538,8 @@ def _jacobi_sweeps_batched_impl(u, v, ex, ey, et, inv_den, n_sweeps,
     chunk = max(1, min(_VMEM_BUDGET // max(per_image, 1),
                        _BATCH_STACK_PX // max(hp * wp, 1)))
     if hp * wp * dtype_bytes > _BATCH_IMG_BYTES:
-        auto_band = _BAND_VMEM_BUDGET // (_BAND_ARRAYS * dtype_bytes * wp)
-        band = _BAND_ROWS or max(sub * 2, min(512, auto_band))
-        band = _round_up(min(band, _round_up(h, sub)), sub)
+        s_hint = block_sweeps if block_sweeps > 0 else _AUTO_BLOCK_SWEEPS
+        band = _pick_band(h, wp, dtype_bytes, sub, min(s_hint, n_sweeps))
         hpb = _round_up(h, band)
         args = [
             pad_to_tiles(a, hpb, wp) for a in (u, v, ex, ey, et, inv_den)
@@ -580,14 +606,31 @@ def tile_sweeps(
     rings decay one per sweep exactly as in the jnp shard body (the caller
     guarantees halo width >= n_sweeps). Tiles are zero-padded to the VMEM
     tile grid; pad values are never read by true pixels.
+
+    Tiles beyond the whole-tile VMEM budget (a 4K-class frame share per
+    chip) take the banded temporally-blocked kernel with the same global-
+    origin masks — per-band working set instead of whole-tile residency.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if n_sweeps == 0:
         return u, v
     th, tw = u.shape
-    hp = _round_up(th, _sublane(u.dtype))
+    sub = _sublane(u.dtype)
     wp = _round_up(tw, _LANE)
+    dtype_bytes = jnp.dtype(u.dtype).itemsize
+    hp = _round_up(th, sub)
+    if hp * wp * dtype_bytes * _VMEM_ARRAYS > _VMEM_BUDGET:
+        band = _pick_band(th, wp, dtype_bytes, sub,
+                          min(_AUTO_BLOCK_SWEEPS, n_sweeps))
+        hp = _round_up(th, band)
+        args = [pad_to_tiles(a, hp, wp) for a in (u, v, ex, ey, et, inv_den)]
+        s = max(1, min(_AUTO_BLOCK_SWEEPS, n_sweeps, band // 2))
+        uo, vo = _sweeps_banded(
+            *args, n_sweeps, s, band, h, w, interpret,
+            row0=row0, col0=col0, aligned_lr=(False, False),
+        )
+        return uo[:th, :tw], vo[:th, :tw]
     args = [pad_to_tiles(a, hp, wp) for a in (ex, ey, et, inv_den, u, v)]
     out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -703,11 +746,8 @@ def _jacobi_sweeps_impl(
     if fits_vmem:
         hp = hp_vmem
     else:
-        # Band height sized so the per-band working set (assembled fields +
-        # Mosaic temporaries) fits VMEM at this width.
-        auto_band = _BAND_VMEM_BUDGET // (_BAND_ARRAYS * dtype_bytes * wp)
-        band = _BAND_ROWS or max(sub * 2, min(512, auto_band))
-        band = _round_up(min(band, _round_up(h, sub)), sub)
+        s_hint = block_sweeps if block_sweeps > 0 else _AUTO_BLOCK_SWEEPS
+        band = _pick_band(h, wp, dtype_bytes, sub, min(s_hint, n_sweeps))
         hp = _round_up(h, band)
 
     args = [pad_to_tiles(a, hp, wp) for a in (u, v, ex, ey, et, inv_den)]

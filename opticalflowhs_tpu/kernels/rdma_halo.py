@@ -160,9 +160,15 @@ def _fused_kernel(row0_ref, u0_ref, v0_ref, ex_ref, ey_ref, et_ref, invd_ref,
     uw[pl.ds(sigma, th)] = u0_ref[...]
     vw[pl.ds(sigma, th)] = v0_ref[...]
 
-    def run_block(s_blk: int):
+    def run_block(s_blk: int, parity):
         # Exchange sigma-row u/v halos with both ring neighbors; overlap the
         # transfer with sweep 1 on the halo-independent interior rows.
+        #
+        # comm slots are double-buffered by block parity: block k+1's
+        # incoming transfer lands in the OTHER slot, so a fast neighbor can
+        # never overwrite slot data this chip has not consumed yet (its
+        # block-k+2 send is transitively ordered after my block-k consume
+        # through the recv->compute->send chain).
         dmas = []
         for buf, comm, s_up, s_dn, r_top, r_bot in (
             (uw, ucomm, su_up, su_dn, ru_top, ru_bot),
@@ -170,13 +176,13 @@ def _fused_kernel(row0_ref, u0_ref, v0_ref, ex_ref, ey_ref, et_ref, invd_ref,
         ):
             dmas.append(pltpu.make_async_remote_copy(
                 src_ref=buf.at[pl.ds(sigma, sigma)],      # my top owned rows
-                dst_ref=comm.at[1],                       # -> up's bottom halo
+                dst_ref=comm.at[parity, 1],               # -> up's bottom halo
                 send_sem=s_up, recv_sem=r_bot, device_id=up,
                 device_id_type=pltpu.DeviceIdType.LOGICAL,
             ))
             dmas.append(pltpu.make_async_remote_copy(
                 src_ref=buf.at[pl.ds(th, sigma)],         # my bottom owned rows
-                dst_ref=comm.at[0],                       # -> down's top halo
+                dst_ref=comm.at[parity, 0],               # -> down's top halo
                 send_sem=s_dn, recv_sem=r_top, device_id=dn,
                 device_id_type=pltpu.DeviceIdType.LOGICAL,
             ))
@@ -190,10 +196,10 @@ def _fused_kernel(row0_ref, u0_ref, v0_ref, ex_ref, ey_ref, et_ref, invd_ref,
         )
         for d in dmas:
             d.wait()
-        uw[pl.ds(0, sigma)] = ucomm[0]
-        uw[pl.ds(sigma + th, sigma)] = ucomm[1]
-        vw[pl.ds(0, sigma)] = vcomm[0]
-        vw[pl.ds(sigma + th, sigma)] = vcomm[1]
+        uw[pl.ds(0, sigma)] = ucomm[parity, 0]
+        uw[pl.ds(sigma + th, sigma)] = ucomm[parity, 1]
+        vw[pl.ds(0, sigma)] = vcomm[parity, 0]
+        vw[pl.ds(sigma + th, sigma)] = vcomm[parity, 1]
         # Sweep 1, halo-adjacent strips (fresh halos + untouched pre-sweep
         # owned rows are both still in uw/vw).
         u_all, v_all = uw[...], vw[...]
@@ -213,12 +219,12 @@ def _fused_kernel(row0_ref, u0_ref, v0_ref, ex_ref, ey_ref, et_ref, invd_ref,
         vw[...] = v1
 
     if n_blocks > 0:
-        def body(_, c):
-            run_block(s)
+        def body(k, c):
+            run_block(s, jax.lax.rem(k, 2))
             return c
         jax.lax.fori_loop(0, n_blocks, body, 0)
     if rem:
-        run_block(rem)
+        run_block(rem, n_blocks % 2)
 
     uo_ref[...] = uw[pl.ds(sigma, th)]
     vo_ref[...] = vw[pl.ds(sigma, th)]
@@ -251,6 +257,11 @@ def ring_fused_sweeps(
     TPU hardware only (remote DMA does not interpret).
     """
     th, tw = u.shape
+    if th % 8:
+        raise ValueError(
+            f"tile height {th} must be a multiple of 8 (in-kernel DMA slices "
+            "start at sublane-aligned rows; pad the tile)"
+        )
     s = max(1, min(block_sweeps, n_sweeps))
     sigma = _round_up(s, 8)
     if exh.shape[0] != th + 2 * sigma:
@@ -278,8 +289,8 @@ def ring_fused_sweeps(
         scratch_shapes=[
             pltpu.VMEM((th + 2 * sigma, wp), u.dtype),
             pltpu.VMEM((th + 2 * sigma, wp), u.dtype),
-            pltpu.VMEM((2, sigma, wp), u.dtype),
-            pltpu.VMEM((2, sigma, wp), u.dtype),
+            pltpu.VMEM((2, 2, sigma, wp), u.dtype),  # [parity][top/bot]
+            pltpu.VMEM((2, 2, sigma, wp), u.dtype),
         ] + [pltpu.SemaphoreType.DMA(())] * 8,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,

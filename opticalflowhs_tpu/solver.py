@@ -41,10 +41,24 @@ def resolve_backend(backend: str) -> str:
 
 
 def precompute(i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig):
-    """Derivatives + hoisted 1/(alpha^2 + Ex^2 + Ey^2) (SURVEY.md §3.2)."""
+    """Derivatives + hoisted 1/(alpha^2 + Ex^2 + Ey^2) (SURVEY.md §3.2).
+
+    On the pallas backend this is ONE fused banded kernel pass (the XLA
+    lowering of the same math costs ~25% of a low-iteration solve —
+    kernels/derivatives.py); the jnp path is its oracle twin.
+    """
+    import os
+
     dtype = jnp.dtype(cfg.dtype)
     i1 = i1.astype(dtype)
     i2 = i2.astype(dtype)
+    if (
+        resolve_backend(cfg.backend) == "pallas"
+        and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
+    ):
+        from opticalflowhs_tpu.kernels.derivatives import derivatives_precompute
+
+        return derivatives_precompute(i1, i2, cfg.alpha, cfg.deriv_variant)
     ex, ey, et = stencils.derivatives(i1, i2, cfg.deriv_variant)
     inv_den = 1.0 / (cfg.alpha * cfg.alpha + ex * ex + ey * ey)
     return ex, ey, et, inv_den

@@ -72,9 +72,15 @@ def flow_video(
     pyr: Optional[PyramidConfig] = None,
     chunk: int = 8,
 ) -> Flow:
-    """Whole-video convenience: (T, H, W) frames -> (T-1, H, W) Flow."""
+    """Whole-video convenience: (T, H, W) frames -> (T-1, H, W) Flow.
+
+    The result lives on the HOST (numpy): each chunk's flow is copied off
+    the device as soon as the next chunk is in flight, so device memory
+    stays bounded by one chunk regardless of video length. For on-device
+    streaming consumption, use flow_stream directly.
+    """
     us, vs = [], []
     for f in flow_stream(frames, cfg, pyr, chunk):
-        us.append(f.u)
-        vs.append(f.v)
-    return Flow(jnp.concatenate(us, axis=0), jnp.concatenate(vs, axis=0))
+        us.append(np.asarray(f.u))
+        vs.append(np.asarray(f.v))
+    return Flow(np.concatenate(us, axis=0), np.concatenate(vs, axis=0))

@@ -51,4 +51,20 @@ local = hs_solve(jnp.asarray(i1), jnp.asarray(i2), cfg)
 u_global = multihost_utils.process_allgather(flow.u, tiled=True)
 d = float(np.abs(np.asarray(u_global) - np.asarray(local.u)).max())
 assert d == 0.0, f"tiled-multiprocess differs from local solve: {d}"
+
+# Sharded coarse-to-fine pyramid across the process boundary (config-5
+# flagship): downsample/upsample/warp GSPMD legs + per-level shard_map
+# solves, halo ppermutes riding the cross-process links.
+from opticalflowhs_tpu.config import PyramidConfig  # noqa: E402
+from opticalflowhs_tpu.dist import hs_pyramid_tiled  # noqa: E402
+from opticalflowhs_tpu.pyramid import hs_pyramid  # noqa: E402
+
+pyr = PyramidConfig(levels=2)
+fp = hs_pyramid_tiled(np.asarray(i1), np.asarray(i2), cfg, pyr,
+                      mesh=mesh, halo_sweeps=2)
+jax.block_until_ready(fp)
+localp = hs_pyramid(jnp.asarray(i1), jnp.asarray(i2), cfg, pyr)
+up = multihost_utils.process_allgather(fp.u, tiled=True)
+dp = float(np.abs(np.asarray(up) - np.asarray(localp.u)).max())
+assert dp <= 5e-6, f"pyramid-multiprocess differs from local: {dp}"
 print(f"MH_WORKER_OK {pid}", flush=True)

@@ -63,3 +63,20 @@ def test_video_pairs_rejects_2d():
 def test_batched_rejects_2d():
     with pytest.raises(ValueError):
         hs_solve_batched(jnp.zeros((8, 8)), jnp.zeros((8, 8)))
+
+
+def test_batched_pyramid_pallas_matches_jnp():
+    """Batched pyramid on the pallas backend (vmapped pallas_call chain,
+    incl. the fused derivative kernel under vmap) == jnp backend."""
+    import numpy as np
+    import jax.numpy as jnp
+    from opticalflowhs_tpu.batch import hs_solve_batched
+    from opticalflowhs_tpu.config import HSConfig, PyramidConfig
+
+    rng = np.random.default_rng(9)
+    i1 = jnp.asarray(rng.uniform(0, 1, (2, 32, 48)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (2, 32, 48)).astype(np.float32))
+    pyr = PyramidConfig(levels=2)
+    fp = hs_solve_batched(i1, i2, HSConfig(alpha=0.5, iters=8, backend="pallas"), pyr)
+    fj = hs_solve_batched(i1, i2, HSConfig(alpha=0.5, iters=8, backend="jnp"), pyr)
+    np.testing.assert_allclose(np.asarray(fp.u), np.asarray(fj.u), atol=2e-6)

@@ -145,3 +145,18 @@ def test_log_metrics_jsonl(tmp_path):
     assert len(lines) == 2
     assert lines[0]["metric"] == "epe" and "ts" in lines[0]
     assert get_logger().name == "hsflow"
+
+
+def test_cli_run_tiled_mesh_matches_untiled(tmp_path, pair_files):
+    """`hsflow run --mesh.y/--mesh.x` routes through the sharded pyramid and
+    must produce the same flow as the single-device run."""
+    p1, p2 = pair_files
+    a = str(tmp_path / "a.flo")
+    b = str(tmp_path / "b.flo")
+    args = [p1, p2, "--cfg.iters", "10", "--cfg.alpha", "0.5",
+            "--pyramid.levels", "2"]
+    assert cli_main(["run", *args, "-o", a]) == 0
+    assert cli_main(["run", *args, "-o", b, "--mesh.y", "2", "--mesh.x", "4",
+                     "--mesh.halo_sweeps", "2"]) == 0
+    fa, fb = read_flo(a), read_flo(b)
+    np.testing.assert_allclose(fb, fa, atol=5e-6)

@@ -151,7 +151,7 @@ def test_batched_banded_kernel_matches_per_image(monkeypatch, n_sweeps, bs):
     # Force the banded route (tiny per-image byte threshold) and several
     # bands per image (tiny per-band budget -> band = 2*sublane = 16 rows).
     monkeypatch.setattr(jk, "_BATCH_IMG_BYTES", 1)
-    monkeypatch.setattr(jk, "_BAND_VMEM_BUDGET", 1)
+    monkeypatch.setattr(jk, "_VMEM_BUDGET", 1)
     probs = [_problem(*shape, seed=30 + k) for k in range(b)]
     stacks = [jnp.stack([p[i] for p in probs]) for i in range(6)]
     uo, vo = jk.jacobi_sweeps_batched(
@@ -162,3 +162,93 @@ def test_batched_banded_kernel_matches_per_image(monkeypatch, n_sweeps, bs):
         ur, vr = _oracle_sweeps(*probs[k], n_sweeps)
         np.testing.assert_allclose(np.asarray(uo[k]), np.asarray(ur), atol=2e-6)
         np.testing.assert_allclose(np.asarray(vo[k]), np.asarray(vr), atol=2e-6)
+
+
+def test_tile_sweeps_banded_fallback_matches_vmem(monkeypatch):
+    """Big per-chip tiles (beyond whole-tile VMEM residency) route through
+    the banded kernel with global-origin masks; results must equal the
+    VMEM tile path exactly."""
+    th, tw, h, w, n = 40, 160, 96, 300, 3
+    probs = _problem(th, tw, seed=42)
+    row0, col0 = 24, 64  # interior tile of a larger (h, w) image
+    ref = jk.tile_sweeps(*[probs[i] for i in (0, 1, 2, 3, 4, 5)], n,
+                         row0, col0, h, w, interpret=True)
+    monkeypatch.setattr(jk, "_VMEM_BUDGET", 1)
+    got = jk.tile_sweeps(*[probs[i] for i in (0, 1, 2, 3, 4, 5)], n,
+                         row0, col0, h, w, interpret=True)
+    # Only the owned region (halo ring cropped by the caller) is defined:
+    # the n-deep decay ring is garbage in BOTH paths, but different garbage.
+    s = slice(n, -n)
+    np.testing.assert_allclose(np.asarray(got[0][s, s]),
+                               np.asarray(ref[0][s, s]), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got[1][s, s]),
+                               np.asarray(ref[1][s, s]), atol=2e-6)
+
+
+def test_tile_sweeps_banded_fallback_edge_tile(monkeypatch):
+    """Banded big-tile path on a tile containing the true global top-left
+    corner (masks at offset coordinates)."""
+    th, tw, h, w, n = 48, 256, 96, 300, 2
+    probs = _problem(th, tw, seed=43)
+    ref = jk.tile_sweeps(*[probs[i] for i in (0, 1, 2, 3, 4, 5)], n,
+                         -2, -2, h, w, interpret=True)
+    monkeypatch.setattr(jk, "_VMEM_BUDGET", 1)
+    got = jk.tile_sweeps(*[probs[i] for i in (0, 1, 2, 3, 4, 5)], n,
+                         -2, -2, h, w, interpret=True)
+    s = slice(n, -n)
+    np.testing.assert_allclose(np.asarray(got[0][s, s]),
+                               np.asarray(ref[0][s, s]), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got[1][s, s]),
+                               np.asarray(ref[1][s, s]), atol=2e-6)
+
+
+@pytest.mark.parametrize("variant", ["hs_cube", "central"])
+@pytest.mark.parametrize("shape", [(37, 51), (64, 128), (16, 300)])
+def test_derivative_kernel_matches_oracle(variant, shape):
+    """Fused Pallas derivatives+inv_den == stencils.derivatives oracle."""
+    from opticalflowhs_tpu.kernels.derivatives import derivatives_precompute
+    from opticalflowhs_tpu.ops import stencils
+
+    h, w = shape
+    rng = np.random.default_rng(50)
+    i1 = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    alpha = 0.7
+    ex, ey, et, invd = derivatives_precompute(i1, i2, alpha, variant,
+                                              interpret=True)
+    exr, eyr, etr = stencils.derivatives(i1, i2, variant)
+    invr = 1.0 / (alpha * alpha + exr * exr + eyr * eyr)
+    np.testing.assert_allclose(np.asarray(ex), np.asarray(exr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ey), np.asarray(eyr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(et), np.asarray(etr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(invd), np.asarray(invr), rtol=1e-6)
+
+
+def test_derivative_kernel_batched():
+    from opticalflowhs_tpu.kernels.derivatives import derivatives_precompute
+    from opticalflowhs_tpu.ops import stencils
+
+    rng = np.random.default_rng(51)
+    i1 = jnp.asarray(rng.uniform(0, 1, (3, 24, 40)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (3, 24, 40)).astype(np.float32))
+    ex, ey, et, invd = derivatives_precompute(i1, i2, 0.5, interpret=True)
+    exr, eyr, etr = stencils.derivatives(i1, i2)
+    np.testing.assert_allclose(np.asarray(ex), np.asarray(exr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(et), np.asarray(etr), atol=1e-6)
+    assert ex.shape == (3, 24, 40)
+
+
+def test_derivative_kernel_multiband(monkeypatch):
+    """Band halo slabs across several bands stay exact."""
+    from opticalflowhs_tpu.kernels import derivatives as dk
+    from opticalflowhs_tpu.ops import stencils
+
+    monkeypatch.setattr(dk, "_VMEM_BUDGET", 1)  # band = 2*sublane = 16
+    rng = np.random.default_rng(52)
+    i1 = jnp.asarray(rng.uniform(0, 1, (49, 160)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (49, 160)).astype(np.float32))
+    ex, ey, et, invd = dk.derivatives_precompute(i1, i2, 0.5, interpret=True)
+    exr, eyr, etr = stencils.derivatives(i1, i2)
+    np.testing.assert_allclose(np.asarray(ex), np.asarray(exr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ey), np.asarray(eyr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(et), np.asarray(etr), atol=1e-6)
