@@ -57,6 +57,7 @@ _VMEM_ARRAYS = 17          # operands + temporaries headroom (measured: a
 _UNROLL = int(os.environ.get("HSFLOW_SWEEP_UNROLL", "1"))
 
 _BAND_ROWS = int(os.environ.get("HSFLOW_BAND_ROWS", "0"))  # 0 = auto by width
+_FUSED_BANDED = os.environ.get("HSFLOW_FUSED_BANDED", "1") != "0"
 _BATCH_STACK_PX = 1_300_000     # max stacked pixels per batched-VMEM chunk
 _BATCH_IMG_BYTES = 2_400_000    # frames above ~0.6 Mpx fp32: banded per image
 _BAND_ARRAYS = 20                      # assembled fields + temporaries
@@ -341,6 +342,157 @@ def _sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w, interpret,
     if rem:
         uv = block(uv, rem)
     return uv
+
+
+# -- fused banded megakernel: ALL sweep blocks in ONE launch -------------------
+#
+# The multi-launch banded path pays a fixed per-launch cost (XLA slab
+# assembly for u/v, dispatch, grid pipeline fill/drain) measured at
+# ~250 us — 31% of a single-frame 1080p block (derived from the B1-vs-B4
+# batched-banded numbers, docs/PERFORMANCE.md). This variant runs the
+# whole (n_blocks, n_bands) schedule inside one pallas_call: the
+# loop-invariant fields ride the normal banded BlockSpecs (Mosaic
+# pipelines their fetches across grid steps), while u/v ping-pong between
+# two HBM buffers by block parity with in-kernel DMA — block k reads the
+# buffer block k-1 wrote, which the lexicographic grid order has already
+# completed. Same per-sweep math and masks as _banded_kernel, so the
+# oracle-equivalence chain extends through it unchanged.
+
+
+def _fused_banded_kernel(ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
+                         et_ref, ett_ref, etb_ref, invd_ref, invdt_ref,
+                         invdb_ref, u0_ref, v0_ref,
+                         ua_ref, ub_ref, va_ref, vb_ref,
+                         uw_ref, vw_ref, sems, *,
+                         s: int, sigma: int, band: int, h: int, w: int,
+                         aligned_lr: tuple):
+    k = pl.program_id(0)
+    i = pl.program_id(1)
+    win = band + 2 * sigma
+
+    def move(pairs):
+        dmas = [
+            pltpu.make_async_copy(src, dst, sems.at[j])
+            for j, (src, dst) in enumerate(pairs)
+        ]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+
+    def load(su_ref, sv_ref):
+        # Sources carry a sigma-row pad top+bottom, so every window is
+        # in-bounds; pad/garbage rows sit beyond the true image edge and
+        # the clamp masks keep them out of true pixels.
+        move([(su_ref.at[pl.ds(i * band, win)], uw_ref),
+              (sv_ref.at[pl.ds(i * band, win)], vw_ref)])
+
+    @pl.when(k == 0)
+    def _():
+        load(u0_ref, v0_ref)
+
+    @pl.when(jnp.logical_and(k > 0, k % 2 == 1))
+    def _():
+        load(ub_ref, vb_ref)       # block k-1 (even) wrote buffer B
+
+    @pl.when(jnp.logical_and(k > 0, k % 2 == 0))
+    def _():
+        load(ua_ref, va_ref)       # block k-1 (odd) wrote buffer A
+
+    def asm(band_ref, top_ref, bot_ref):
+        return jnp.concatenate([top_ref[0], band_ref[...], bot_ref[0]], axis=0)
+
+    ex = asm(ex_ref, ext_ref, exb_ref)
+    ey = asm(ey_ref, eyt_ref, eyb_ref)
+    et = asm(et_ref, ett_ref, etb_ref)
+    invd = asm(invd_ref, invdt_ref, invdb_ref)
+    u = uw_ref[...]
+    v = vw_ref[...]
+    local = jax.lax.broadcasted_iota(jnp.int32, (win, ex.shape[1]), 0)
+    gr = i * band - sigma + local
+    gc = jax.lax.broadcasted_iota(jnp.int32, (win, ex.shape[1]), 1)
+    masks = _edge_masks(gr, gc, h, w, (False, False) + aligned_lr)
+    for _k in range(s):
+        u, v = _kernel_step(u, v, ex, ey, et, invd, masks)
+    uw_ref[...] = u
+    vw_ref[...] = v
+
+    def store(du_ref, dv_ref):
+        move([(uw_ref.at[pl.ds(sigma, band)],
+               du_ref.at[pl.ds(sigma + i * band, band)]),
+              (vw_ref.at[pl.ds(sigma, band)],
+               dv_ref.at[pl.ds(sigma + i * band, band)])])
+
+    @pl.when(k % 2 == 0)
+    def _():
+        store(ub_ref, vb_ref)
+
+    @pl.when(k % 2 == 1)
+    def _():
+        store(ua_ref, va_ref)
+
+
+def _sweeps_banded_fused(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w,
+                         interpret):
+    """All n_sweeps on (hp, wp)-padded arrays in one pallas_call.
+
+    Falls back to the multi-launch path when there are fewer than two
+    s-sweep blocks (nothing to fuse). The s-remainder runs as one trailing
+    _sweeps_banded launch.
+    """
+    hp, wp = u.shape
+    nb = hp // band
+    sigma = _round_up(s, _sublane(u.dtype))
+    n_blocks, rem = divmod(n_sweeps, s)
+    if n_blocks < 2:
+        return _sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w,
+                              interpret)
+    aligned_lr = (True, w == wp)
+
+    def inv_slab(x):
+        b = x.reshape(nb, band, wp)
+        return (
+            jnp.concatenate([b[:1, band - sigma :], b[:-1, band - sigma :]], axis=0),
+            jnp.concatenate([b[1:, :sigma], b[-1:, :sigma]], axis=0),
+        )
+
+    (ext, exb), (eyt, eyb), (ett, etb), (invdt, invdb) = (
+        inv_slab(a) for a in (ex, ey, et, invd)
+    )
+    upad = jnp.pad(u, ((sigma, sigma), (0, 0)))
+    vpad = jnp.pad(v, ((sigma, sigma), (0, 0)))
+
+    band_spec = pl.BlockSpec((band, wp), lambda k, i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    slab_spec = pl.BlockSpec((1, sigma, wp), lambda k, i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    buf = jax.ShapeDtypeStruct((hp + 2 * sigma, wp), u.dtype)
+    ua, ub, va, vb = pl.pallas_call(
+        functools.partial(_fused_banded_kernel, s=s, sigma=sigma, band=band,
+                          h=h, w=w, aligned_lr=aligned_lr),
+        grid=(n_blocks, nb),
+        out_shape=(buf, buf, buf, buf),
+        in_specs=[band_spec, slab_spec, slab_spec] * 4 + [any_spec] * 2,
+        out_specs=(any_spec,) * 4,
+        scratch_shapes=[
+            pltpu.VMEM((band + 2 * sigma, wp), u.dtype),
+            pltpu.VMEM((band + 2 * sigma, wp), u.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ex, ext, exb, ey, eyt, eyb, et, ett, etb, invd, invdt, invdb,
+      upad, vpad)
+    uf, vf = (ub, vb) if n_blocks % 2 == 1 else (ua, va)
+    uo, vo = uf[sigma : sigma + hp], vf[sigma : sigma + hp]
+    if rem:
+        uo, vo = _sweeps_banded(uo, vo, ex, ey, et, invd, rem, rem, band, h,
+                                w, interpret)
+    return uo, vo
 
 
 # -- batched banded path (HD+ video frames) -----------------------------------
@@ -757,5 +909,6 @@ def _jacobi_sweeps_impl(
         s = block_sweeps if block_sweeps > 0 else _AUTO_BLOCK_SWEEPS
         s = min(s, n_sweeps, band // 2)
         s = max(s, 1)
-        uo, vo = _sweeps_banded(*args, n_sweeps, s, band, h, w, interpret)
+        banded = _sweeps_banded_fused if _FUSED_BANDED else _sweeps_banded
+        uo, vo = banded(*args, n_sweeps, s, band, h, w, interpret)
     return uo[:h, :w], vo[:h, :w]

@@ -60,6 +60,26 @@ def test_banded_path_matches_jnp(shape, n, s, monkeypatch):
     np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), atol=2e-6)
 
 
+@pytest.mark.parametrize("n,s", [(16, 4), (21, 4), (12, 3)])
+def test_fused_banded_megakernel_matches_jnp(n, s, monkeypatch):
+    """The single-launch fused schedule (all sweep blocks in one pallas_call,
+    u/v ping-ponged between HBM buffers by block parity) must equal the
+    oracle for even and odd block counts and with an s-remainder tail."""
+    monkeypatch.setattr(jk, "_VMEM_BUDGET", 1)
+    monkeypatch.setattr(jk, "_BAND_ROWS", 64)
+    monkeypatch.setattr(jk, "_FUSED_BANDED", True)
+    u, v, ex, ey, et, invd = _problem(300, 140, seed=7)
+    uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, n, block_sweeps=s, interpret=True)
+    ur, vr = _oracle_sweeps(u, v, ex, ey, et, invd, n)
+    np.testing.assert_allclose(np.asarray(uo), np.asarray(ur), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), atol=2e-6)
+    # and the multi-launch path agrees bit-for-bit in interpret mode
+    monkeypatch.setattr(jk, "_FUSED_BANDED", False)
+    um, vm = jk.jacobi_sweeps(u, v, ex, ey, et, invd, n, block_sweeps=s, interpret=True)
+    np.testing.assert_array_equal(np.asarray(uo), np.asarray(um))
+    np.testing.assert_array_equal(np.asarray(vo), np.asarray(vm))
+
+
 def test_band_shorter_than_image(monkeypatch):
     # Image smaller than one band: degenerate single-band grid.
     monkeypatch.setattr(jk, "_VMEM_BUDGET", 1)
