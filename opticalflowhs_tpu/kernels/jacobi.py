@@ -238,7 +238,7 @@ def _banded_kernel(r0_ref, c0_ref, u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
                    ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
                    et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
                    uo_ref, vo_ref, *, s: int, halo: int, band: int, h: int,
-                   w: int, aligned_lr: tuple):
+                   w: int, aligned_lr: tuple, fold: tuple | None = None):
     i = pl.program_id(0)
 
     def asm(band_ref, top_ref, bot_ref):
@@ -257,6 +257,15 @@ def _banded_kernel(r0_ref, c0_ref, u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
     # images, the halo-padded tile origin for the distributed big-tile path.
     gr = r0_ref[0] + i * band - halo + local
     gc = c0_ref[0] + jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
+    if fold is not None:
+        # Folded layout (docstring of _sweeps_banded_folded): lane position
+        # gc sits in segment seg covering image rows [seg*hs, (seg+1)*hs);
+        # array row r maps to image row seg*hs + (r - sf). Same mod-by-
+        # constant trick as the batched stacked kernel's per-image clamp.
+        hs_f, sf_f, wseg = fold
+        seg = gc // wseg
+        gc = gc - seg * wseg
+        gr = seg * hs_f + gr - sf_f
     # rows cross band halos -> masks; column alignment is the caller's call
     # (whole images: col 0 is the true left edge, right edge coincides when
     # no lane padding was needed; tiles: both columns need masks).
@@ -268,7 +277,7 @@ def _banded_kernel(r0_ref, c0_ref, u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
 
 
 def _banded_block(u, v, ex, ey, et, invd, inv_slabs, s, halo, band, h, w,
-                  interpret, row0, col0, aligned_lr):
+                  interpret, row0, col0, aligned_lr, fold=None):
     """One s-sweep launch over row bands with `halo`-row halo slabs.
 
     halo = round_up(s, sublane) so slab blocks satisfy the (8,128)/(16,128)
@@ -295,7 +304,7 @@ def _banded_block(u, v, ex, ey, et, invd, inv_slabs, s, halo, band, h, w,
     out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
     return pl.pallas_call(
         functools.partial(_banded_kernel, s=s, halo=halo, band=band, h=h, w=w,
-                          aligned_lr=aligned_lr),
+                          aligned_lr=aligned_lr, fold=fold),
         grid=(nb,),
         out_shape=(out, out),
         in_specs=[sspec, sspec] + [band_spec, slab_spec, slab_spec] * 6,
@@ -493,6 +502,123 @@ def _sweeps_banded_fused(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w,
         uo, vo = _sweeps_banded(uo, vo, ex, ey, et, invd, rem, rem, band, h,
                                 w, interpret)
     return uo, vo
+
+
+# -- folded banded path: lane-pack row segments of one frame -------------------
+#
+# For beyond-VMEM frames that are "too narrow" (1080p: 1920 lanes), fold
+# the frame into k side-by-side segments: segment g holds image rows
+# [g*hs, (g+1)*hs) at lane block [g*wp, (g+1)*wp), carrying sf >= s
+# fold-halo rows above and below (copies of the neighbor segments' edge
+# rows). Within a sweep block the fold halos decay exactly like band
+# halos; between blocks a lane-roll refresh recopies them from the owning
+# segment. Lane seams coincide with the true left/right image edges, where
+# the clamp masks already replace the rolled-in neighbor — so the folded
+# sweep is the SAME arithmetic per owned pixel as the unfolded one
+# (oracle-equivalence chain unchanged; hardware-exact, 0.0 at 1080p).
+#
+# DEFAULT OFF. The raw-call window-shape probe (tools/hw_shape_probe.py)
+# suggested a 1.53x win for 304x3840-class windows, but the solve-context
+# control (tools/hw_shape_control.py) measured the real shape advantage at
+# only ~8% (544x3840 5.66 ms vs 1088x1920 6.14 ms, same process), which
+# the fold-halo redundancy + refresh costs back: folded 1080p measured
+# 6.44 ms vs 5.77 plain at i100 (tools/hw_folded_ab.py). Kept env-gated
+# (HSFLOW_FOLD_LANES=<target lanes>) because the i20 video preset measured
+# 17% FASTER folded (4.35 vs 5.08 ms) — a lead for low-iteration tuning.
+
+
+_FOLD_LANES = int(os.environ.get("HSFLOW_FOLD_LANES", "0"))
+
+
+def _pick_fold(h: int, wp: int, sub: int, s_hint: int) -> int:
+    """Fold factor: widen toward _FOLD_LANES lanes while keeping the fold-halo
+    overhead (2*sf/hs) small. 1 = no fold."""
+    if _FOLD_LANES <= 0:
+        return 1
+    k = max(1, _FOLD_LANES // wp)
+    sf = _round_up(max(1, s_hint), sub)
+    while k > 1:
+        hs = _round_up(-(-h // k), sub)
+        if hs >= max(8 * sf, 128):
+            break
+        k -= 1
+    return k
+
+
+def _fold(x, k: int, hs: int, sf: int):
+    """(k*hs, wp)-padded image -> (hs + 2*sf, k*wp) folded layout with fold
+    halos. Wrapped segments (top of seg 0, bottom of seg k-1) land beyond the
+    true image edges where the clamp masks make their content unread."""
+    wp = x.shape[1]
+    b = pad_to_tiles(x, k * hs, wp).reshape(k, hs, wp)
+    top = jnp.concatenate([b[-1:, hs - sf:], b[:-1, hs - sf:]], axis=0)
+    bot = jnp.concatenate([b[1:, :sf], b[:1, :sf]], axis=0)
+    f = jnp.concatenate([top, b, bot], axis=1)          # (k, hf, wp)
+    return jnp.swapaxes(f, 0, 1).reshape(hs + 2 * sf, k * wp)
+
+
+def _unfold(x, k: int, hs: int, sf: int):
+    wp = x.shape[1] // k
+    y = x[sf:sf + hs].reshape(hs, k, wp)
+    return jnp.swapaxes(y, 0, 1).reshape(k * hs, wp)
+
+
+def _sweeps_banded_folded(u, v, ex, ey, et, invd, n_sweeps, s, h, w, k,
+                          interpret):
+    """Banded sweeps in k-fold lane-packed layout; returns (k*hs, wp) arrays
+    the caller crops to (h, w). Inputs are lane-padded but NOT row-padded."""
+    sub = _sublane(u.dtype)
+    wp = u.shape[1]
+    dtype_bytes = jnp.dtype(u.dtype).itemsize
+    hs = _round_up(-(-h // k), sub)
+    sf = _round_up(s, sub)
+    hf = hs + 2 * sf
+    wf = k * wp
+    band = _pick_band(hf, wf, dtype_bytes, sub, s)
+    hfp = _round_up(hf, band)
+    s = max(1, min(s, band // 2))
+    fold_geom = (hs, sf, wp)
+
+    uf, vf, exf, eyf, etf, invdf = (
+        pad_to_tiles(_fold(a, k, hs, sf), hfp, wf)
+        for a in (u, v, ex, ey, et, invd)
+    )
+
+    halo = _round_up(s, sub)
+    nb = hfp // band
+
+    def inv_slab(x):
+        b = x.reshape(nb, band, wf)
+        return (
+            jnp.concatenate([b[:1, band - halo:], b[:-1, band - halo:]], axis=0),
+            jnp.concatenate([b[1:, :halo], b[-1:, :halo]], axis=0),
+        )
+
+    inv_slabs = tuple(inv_slab(a) for a in (exf, eyf, etf, invdf))
+
+    def refresh(x):
+        # Re-copy fold halos from the owning segments: the top halo of seg g
+        # is seg g-1's last sf owned rows (lane-roll right by one segment);
+        # the bottom halo is seg g+1's first sf owned rows (roll left). The
+        # wrapped segments land beyond the true image edge (unread).
+        top = jnp.roll(x[hs:hs + sf], wp, axis=1)
+        bot = jnp.roll(x[sf:2 * sf], -wp, axis=1)
+        return x.at[0:sf].set(top).at[sf + hs:hf].set(bot)
+
+    def block(uv, kk):
+        return _banded_block(
+            refresh(uv[0]), refresh(uv[1]), exf, eyf, etf, invdf, inv_slabs,
+            kk, halo, band, h, w, interpret, 0, 0, (False, False),
+            fold=fold_geom,
+        )
+
+    n_blocks, rem = divmod(n_sweeps, s)
+    uv = (uf, vf)
+    if n_blocks:
+        uv = jax.lax.fori_loop(0, n_blocks, lambda _, x: block(x, s), uv)
+    if rem:
+        uv = block(uv, rem)
+    return _unfold(uv[0], k, hs, sf), _unfold(uv[1], k, hs, sf)
 
 
 # -- batched banded path (HD+ video frames) -----------------------------------
@@ -894,11 +1020,22 @@ def _jacobi_sweeps_impl(
     dtype_bytes = jnp.dtype(u.dtype).itemsize
     hp_vmem = _round_up(h, sub)
     fits_vmem = hp_vmem * wp * dtype_bytes * _VMEM_ARRAYS <= _VMEM_BUDGET
+    s_hint = block_sweeps if block_sweeps > 0 else _AUTO_BLOCK_SWEEPS
+    k_fold = 1 if fits_vmem else _pick_fold(h, wp, sub, min(s_hint, n_sweeps))
+
+    if k_fold > 1:
+        # opt-in (HSFLOW_FOLD_LANES): lane-pack k row segments of a narrow
+        # beyond-VMEM frame; runs the multi-launch schedule.
+        args = [pad_to_tiles(a, h, wp) for a in (u, v, ex, ey, et, inv_den)]
+        s = max(1, min(s_hint, n_sweeps))
+        uo, vo = _sweeps_banded_folded(
+            *args, n_sweeps, s, h, w, k_fold, interpret
+        )
+        return uo[:h, :w], vo[:h, :w]
 
     if fits_vmem:
         hp = hp_vmem
     else:
-        s_hint = block_sweeps if block_sweeps > 0 else _AUTO_BLOCK_SWEEPS
         band = _pick_band(h, wp, dtype_bytes, sub, min(s_hint, n_sweeps))
         hp = _round_up(h, band)
 

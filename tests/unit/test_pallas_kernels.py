@@ -53,6 +53,7 @@ def test_banded_path_matches_jnp(shape, n, s, monkeypatch):
     # (0 = auto), including n % s remainders.
     monkeypatch.setattr(jk, "_VMEM_BUDGET", 1)
     monkeypatch.setattr(jk, "_BAND_ROWS", 64)
+    monkeypatch.setattr(jk, "_FOLD_LANES", 0)
     u, v, ex, ey, et, invd = _problem(*shape, seed=3)
     uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, n, block_sweeps=s, interpret=True)
     ur, vr = _oracle_sweeps(u, v, ex, ey, et, invd, n)
@@ -67,6 +68,7 @@ def test_fused_banded_megakernel_matches_jnp(n, s, monkeypatch):
     oracle for even and odd block counts and with an s-remainder tail."""
     monkeypatch.setattr(jk, "_VMEM_BUDGET", 1)
     monkeypatch.setattr(jk, "_BAND_ROWS", 64)
+    monkeypatch.setattr(jk, "_FOLD_LANES", 0)
     monkeypatch.setattr(jk, "_FUSED_BANDED", True)
     u, v, ex, ey, et, invd = _problem(300, 140, seed=7)
     uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, n, block_sweeps=s, interpret=True)
@@ -80,10 +82,53 @@ def test_fused_banded_megakernel_matches_jnp(n, s, monkeypatch):
     np.testing.assert_array_equal(np.asarray(vo), np.asarray(vm))
 
 
+@pytest.mark.parametrize("h,w,k,n,s", [
+    (300, 140, 2, 9, 4),    # odd h (h % k != 0), remainder block
+    (300, 140, 2, 8, 4),    # exact blocks
+    (400, 140, 3, 7, 3),    # k=3, remainder
+    (299, 251, 2, 5, 2),    # odd everything
+])
+def test_folded_banded_matches_jnp(h, w, k, n, s, monkeypatch):
+    """Lane-folded banded layout (k row segments side-by-side, fold halos
+    refreshed per block) == oracle; fold seams sit at true column edges."""
+    wp = -(-w // 128) * 128
+    monkeypatch.setattr(jk, "_VMEM_BUDGET", 1)
+    monkeypatch.setattr(jk, "_FOLD_LANES", k * wp)
+    monkeypatch.setattr(jk, "_BAND_ROWS", 0)
+    u, v, ex, ey, et, invd = _problem(h, w, seed=11)
+    assert jk._pick_fold(h, wp, 8, s) == k  # the routing actually folds
+    uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, n, block_sweeps=s,
+                              interpret=True)
+    ur, vr = _oracle_sweeps(u, v, ex, ey, et, invd, n)
+    np.testing.assert_allclose(np.asarray(uo), np.asarray(ur), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(vr), atol=2e-6)
+    # folded == unfolded banded bit-for-bit in interpret mode
+    monkeypatch.setattr(jk, "_FOLD_LANES", 0)
+    um, vm = jk.jacobi_sweeps(u, v, ex, ey, et, invd, n, block_sweeps=s,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(uo), np.asarray(um))
+    np.testing.assert_array_equal(np.asarray(vo), np.asarray(vm))
+
+
+def test_pick_fold_respects_overhead_bound(monkeypatch):
+    monkeypatch.setattr(jk, "_FOLD_LANES", 3840)
+    # 1080p fp32: fold to 2x (3840 lanes); halo overhead 2*16/544 ~ 6%.
+    assert jk._pick_fold(1088, 1920, 8, 16) == 2
+    # already wide: no fold
+    assert jk._pick_fold(2176, 3840, 8, 16) == 1
+    # too short to amortize fold halos: no fold
+    assert jk._pick_fold(160, 1920, 8, 16) == 1
+    # default: folding is off (solve-context control showed the window-shape
+    # advantage is ~8%, eaten by fold-halo redundancy; docs/PERFORMANCE.md)
+    monkeypatch.setattr(jk, "_FOLD_LANES", 0)
+    assert jk._pick_fold(1088, 1920, 8, 16) == 1
+
+
 def test_band_shorter_than_image(monkeypatch):
     # Image smaller than one band: degenerate single-band grid.
     monkeypatch.setattr(jk, "_VMEM_BUDGET", 1)
     monkeypatch.setattr(jk, "_BAND_ROWS", 256)
+    monkeypatch.setattr(jk, "_FOLD_LANES", 0)
     u, v, ex, ey, et, invd = _problem(40, 130, seed=5)
     uo, vo = jk.jacobi_sweeps(u, v, ex, ey, et, invd, 2, interpret=True)
     ur, vr = _oracle_sweeps(u, v, ex, ey, et, invd, 2)
