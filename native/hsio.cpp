@@ -317,6 +317,59 @@ int hsio_write_flo(const char* path, const float* data, int w, int h) {
   return ok ? 0 : -2;
 }
 
+// ---- 16-bit PNG (KITTI flow maps) ------------------------------------------
+
+// Read a 16-bit 3-channel PNG in RGB channel order (KITTI flow encoding;
+// io/kitti.py). Two-phase: out == nullptr fills w/h only. Returns 0 on
+// success, -1 file, -2 decode/format, -10 when built without OpenCV.
+int hsio_read_png16(const char* path, uint16_t* out, int* w, int* h) {
+#ifdef HSIO_WITH_OPENCV
+  std::vector<unsigned char> d;
+  if (!read_file(path, d)) return -1;
+  cv::Mat buf(1, static_cast<int>(d.size()), CV_8UC1, d.data());
+  cv::Mat raw = cv::imdecode(buf, cv::IMREAD_UNCHANGED);
+  if (raw.empty() || raw.depth() != CV_16U || raw.channels() != 3) return -2;
+  *w = raw.cols;
+  *h = raw.rows;
+  if (out) {
+    for (int y = 0; y < raw.rows; ++y) {
+      const uint16_t* p = raw.ptr<uint16_t>(y);
+      uint16_t* o = out + static_cast<size_t>(y) * raw.cols * 3;
+      for (int x = 0; x < raw.cols; ++x) {  // OpenCV is BGR; emit RGB
+        o[3 * x] = p[3 * x + 2];
+        o[3 * x + 1] = p[3 * x + 1];
+        o[3 * x + 2] = p[3 * x];
+      }
+    }
+  }
+  return 0;
+#else
+  (void)path; (void)out; (void)w; (void)h;
+  return -10;
+#endif
+}
+
+// Write (h, w, 3) uint16 RGB as a 16-bit PNG. Same return convention.
+int hsio_write_png16(const char* path, const uint16_t* rgb, int w, int h) {
+#ifdef HSIO_WITH_OPENCV
+  if (w <= 0 || h <= 0) return -2;
+  cv::Mat bgr(h, w, CV_16UC3);
+  for (int y = 0; y < h; ++y) {
+    const uint16_t* p = rgb + static_cast<size_t>(y) * w * 3;
+    uint16_t* o = bgr.ptr<uint16_t>(y);
+    for (int x = 0; x < w; ++x) {
+      o[3 * x] = p[3 * x + 2];
+      o[3 * x + 1] = p[3 * x + 1];
+      o[3 * x + 2] = p[3 * x];
+    }
+  }
+  return cv::imwrite(path, bgr) ? 0 : -1;
+#else
+  (void)path; (void)rgb; (void)w; (void)h;
+  return -10;
+#endif
+}
+
 // ---- threaded prefetching frame loader -------------------------------------
 
 struct hsio_loader {
@@ -424,6 +477,6 @@ void hsio_loader_close(hsio_loader* L) {
   delete L;
 }
 
-int hsio_version() { return 10000; }  // 1.0.0
+int hsio_version() { return 10100; }  // 1.1.0: + 16-bit PNG (KITTI)
 
 }  // extern "C"

@@ -59,7 +59,7 @@ def _cmd_run(args, overrides):
     import numpy as np
     import jax.numpy as jnp
 
-    from opticalflowhs_tpu.io.flo import write_flo
+    from opticalflowhs_tpu.io import write_flow
     from opticalflowhs_tpu.io.images import load_gray, save_image
     from opticalflowhs_tpu.pyramid import hs_pyramid
     from opticalflowhs_tpu.viz import flow_to_color, needle_plot
@@ -89,7 +89,7 @@ def _cmd_run(args, overrides):
         + f"in {dt * 1e3:.1f} ms (incl. compile on first run)"
     )
     if args.output:
-        write_flo(args.output, f)
+        write_flow(args.output, f)  # .flo, or KITTI PNG for .png outputs
         print(f"wrote {args.output}")
     if args.viz:
         save_image(args.viz, flow_to_color(f))
@@ -173,11 +173,11 @@ def _cmd_bench(args, overrides):
 def _cmd_viz(args, _overrides):
     import numpy as np
 
-    from opticalflowhs_tpu.io.flo import read_flo
+    from opticalflowhs_tpu.io import read_flow
     from opticalflowhs_tpu.io.images import save_image
     from opticalflowhs_tpu.viz import flow_to_color, needle_plot
 
-    f = read_flo(args.flo)
+    f = read_flow(args.flo)  # .flo or KITTI flow .png
     img = needle_plot(f) if args.needle else flow_to_color(f, max_flow=args.max_flow)
     save_image(args.output, img)
     print(f"wrote {args.output} ({f.shape[1]}x{f.shape[0]})")

@@ -124,6 +124,59 @@ class SintelDataset:
             yield from self.pairs(seq)
 
 
+class KittiDataset:
+    """KITTI 2012/2015 flow training split (sparse LIDAR-derived GT).
+
+    Layout (2015; 2012 differs only in the image directory name):
+        <root>/training/image_2/%06d_10.png, %06d_11.png
+        <root>/training/flow_occ/%06d_10.png   (all valid pixels)
+        <root>/training/flow_noc/%06d_10.png   (non-occluded subset)
+
+    GT flow PNGs are 48-bit KITTI-encoded (io/kitti.py); invalid pixels are
+    re-marked with the Middlebury unknown sentinel so `metrics.epe` /
+    `unknown_mask` treat the sparse GT correctly with no extra plumbing.
+    """
+
+    _PAIR_RE = re.compile(r"^(\d{6})_10\.png$")
+    _UNKNOWN = 1e10  # io.flo.UNKNOWN_FLOW_THRESH is 1e9
+
+    def __init__(self, root: str, image_dir: str = "image_2",
+                 gt_dir: str = "flow_occ"):
+        self.root = root
+        self._img_root = os.path.join(root, "training", image_dir)
+        self._gt_root = os.path.join(root, "training", gt_dir)
+        if not os.path.isdir(self._img_root):
+            raise FileNotFoundError(f"{self._img_root} missing")
+        self.frames = sorted(
+            m.group(1)
+            for name in os.listdir(self._img_root)
+            if (m := self._PAIR_RE.match(name))
+            and os.path.exists(
+                os.path.join(self._img_root, f"{m.group(1)}_11.png")
+            )
+        )
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def sample(self, frame: str) -> FlowSample:
+        from opticalflowhs_tpu.io.kitti import read_flow_png
+
+        f10 = os.path.join(self._img_root, f"{frame}_10.png")
+        f11 = os.path.join(self._img_root, f"{frame}_11.png")
+        gt_path = os.path.join(self._gt_root, f"{frame}_10.png")
+        gt = None
+        if os.path.exists(gt_path):
+            flow, valid = read_flow_png(gt_path)
+            gt = flow.copy()
+            gt[~valid] = self._UNKNOWN
+        return FlowSample(frame, 10, load_gray(f10), load_gray(f11), gt)
+
+    def __iter__(self) -> Iterator[FlowSample]:
+        for frame in self.frames:
+            yield self.sample(frame)
+
+
 def evaluate_epe(dataset, solve_fn) -> dict[str, float]:
     """Run solve_fn(frame1, frame2) -> (H, W, 2) over a dataset, returning
     per-sequence average EPE against GT (skipping samples without GT)."""

@@ -62,6 +62,14 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.hsio_loader_next.argtypes = [ctypes.c_void_p, fp, ip, ip, ctypes.c_long]
     lib.hsio_loader_close.argtypes = [ctypes.c_void_p]
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    try:
+        lib.hsio_read_png16.argtypes = [ctypes.c_char_p, u16p, ip, ip]
+        lib.hsio_write_png16.argtypes = [
+            ctypes.c_char_p, u16p, ctypes.c_int, ctypes.c_int,
+        ]
+    except AttributeError:  # pre-1.1 library on disk
+        pass
     _lib = lib
     return _lib
 
@@ -148,6 +156,48 @@ def write_flo(path: str, flow: np.ndarray) -> None:
     rc = lib.hsio_write_flo(path.encode(), _fp(arr), arr.shape[1], arr.shape[0])
     if rc != 0:
         raise IOError(f"hsio_write_flo({path}) failed with {rc}")
+
+
+def _u16p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+
+
+def read_png16(path: str) -> Optional[np.ndarray]:
+    """Native 16-bit 3-channel PNG decode (KITTI flow maps) -> (H, W, 3)
+    uint16 RGB, or None when the library lacks the OpenCV codecs (caller
+    falls back to io.png16)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hsio_read_png16"):
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.hsio_read_png16(path.encode(), None, ctypes.byref(w), ctypes.byref(h))
+    if rc == -10:
+        return None
+    if rc != 0:
+        raise IOError(f"hsio_read_png16({path}) failed with {rc}")
+    out = np.empty((h.value, w.value, 3), dtype=np.uint16)
+    rc = lib.hsio_read_png16(path.encode(), _u16p(out), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise IOError(f"hsio_read_png16({path}) failed with {rc}")
+    return out
+
+
+def write_png16(path: str, img: np.ndarray) -> bool:
+    """Native 16-bit RGB PNG write; returns False when unsupported (caller
+    falls back to io.png16)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hsio_write_png16"):
+        return False
+    arr = np.ascontiguousarray(img, dtype=np.uint16)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint16, got {arr.shape}")
+    rc = lib.hsio_write_png16(path.encode(), _u16p(arr), arr.shape[1], arr.shape[0])
+    if rc == -10:
+        return False
+    if rc != 0:
+        raise IOError(f"hsio_write_png16({path}) failed with {rc}")
+    return True
 
 
 def stream_frames(

@@ -42,6 +42,22 @@ def test_cli_run_writes_outputs(tmp_path, pair_files):
     assert os.path.getsize(png) > 0
 
 
+def test_cli_run_kitti_png_output(tmp_path, pair_files):
+    """-o out.png routes through the KITTI 48-bit flow encoding, and viz
+    reads it back (io.read_flow/write_flow extension dispatch)."""
+    p1, p2 = pair_files
+    out = str(tmp_path / "flow_kitti.png")
+    rc = cli_main(["run", p1, p2, "-o", out, "--cfg.iters", "10"])
+    assert rc == 0
+    from opticalflowhs_tpu.io.kitti import read_flow_png
+
+    f, valid = read_flow_png(out)
+    assert f.shape == (64, 80, 2) and valid.all()
+    viz = str(tmp_path / "v.png")
+    assert cli_main(["viz", out, "-o", viz]) == 0
+    assert os.path.getsize(viz) > 0
+
+
 def test_cli_viz_roundtrip(tmp_path, pair_files):
     p1, p2 = pair_files
     flo = str(tmp_path / "out.flo")
