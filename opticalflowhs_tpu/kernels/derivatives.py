@@ -44,7 +44,7 @@ def _deriv_kernel(i1_ref, i1t_ref, i1b_ref, i2_ref, i2t_ref, i2b_ref,
     i = pl.program_id(1)
 
     def asm(b, t, bo):
-        return jnp.concatenate([t[0, 0], b[0], bo[0, 0]], axis=0)
+        return jnp.concatenate([t[0], b[0], bo[0]], axis=0)
 
     f1 = asm(i1_ref, i1t_ref, i1b_ref)
     f2 = asm(i2_ref, i2t_ref, i2b_ref)
@@ -142,7 +142,20 @@ def _derivatives_ad_bwd(alpha, variant, interpret, res, ct):
 _derivatives_ad.defvjp(_derivatives_ad_fwd, _derivatives_ad_bwd)
 
 
-def _derivatives_impl(i1, i2, alpha, variant, interpret):
+def _derivatives_impl(i1, i2, alpha, variant, interpret,
+                      band: int | None = None, hp_out: int | None = None,
+                      crop: bool = True):
+    """band/hp_out override the band layout (the fused whole-solve pipeline
+    passes the sweep megakernel's geometry so its field inputs need no
+    re-marshalling); crop=False returns the (B, hp, wp) padded fields.
+
+    The i1/i2 halo slabs are BlockSpec VIEWS of the padded frames at
+    clamped index maps (top slab of band i = rows [i*band-halo, i*band),
+    i.e. halo-block i*band/halo - 1) — no XLA slab concats; halo = sublane
+    always divides the sublane-rounded band. Out-of-range clamped blocks
+    (i = 0 top, last bottom) hold rows the true-edge derivative clamps
+    never read, same argument as the sweep kernels' slab contents.
+    """
     squeeze = i1.ndim == 2
     if squeeze:
         i1 = i1[None]
@@ -151,34 +164,33 @@ def _derivatives_impl(i1, i2, alpha, variant, interpret):
     sub = _sublane(i1.dtype)
     wp = _round_up(w, _LANE)
     dtype_bytes = jnp.dtype(i1.dtype).itemsize
-    # Fewest VMEM-fitting bands, split evenly — pad rows are wasted compute
-    # (same policy as kernels/jacobi._pick_band).
-    unit = wp * dtype_bytes * _DERIV_ARRAYS
-    band_max = max(2 * sub, _VMEM_BUDGET // unit - 2 * sub)
-    h_units = -(-h // sub)
-    nb_min = -(-h_units // max(2, band_max // sub))
-    band = -(-h_units // max(1, nb_min)) * sub
-    hp = _round_up(h, band)
+    if band is None:
+        # Fewest VMEM-fitting bands, split evenly — pad rows are wasted
+        # compute (same policy as kernels/jacobi._pick_band).
+        unit = wp * dtype_bytes * _DERIV_ARRAYS
+        band_max = max(2 * sub, _VMEM_BUDGET // unit - 2 * sub)
+        h_units = -(-h // sub)
+        nb_min = -(-h_units // max(2, band_max // sub))
+        band = -(-h_units // max(1, nb_min)) * sub
+    hp = _round_up(h, band) if hp_out is None else hp_out
     nb = hp // band
     halo = sub  # 1 needed; sublane-rounded for the Mosaic block shape
+    r = band // halo
     f1 = pad_to_tiles(i1, hp, wp)
     f2 = pad_to_tiles(i2, hp, wp)
 
-    def slabs(x):
-        r = x.reshape(b, nb, band, wp)
-        top = jnp.concatenate(
-            [r[:, :1, band - halo :], r[:, :-1, band - halo :]], axis=1
-        )
-        bot = jnp.concatenate([r[:, 1:, :halo], r[:, -1:, :halo]], axis=1)
-        return top, bot
-
-    f1t, f1b = slabs(f1)
-    f2t, f2b = slabs(f2)
     band_spec = pl.BlockSpec(
         (1, band, wp), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM
     )
-    slab_spec = pl.BlockSpec(
-        (1, 1, halo, wp), lambda k, i: (k, i, 0, 0), memory_space=pltpu.VMEM
+    top_spec = pl.BlockSpec(
+        (1, halo, wp),
+        lambda k, i: (k, jnp.maximum(i * r - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    bot_spec = pl.BlockSpec(
+        (1, halo, wp),
+        lambda k, i: (k, jnp.minimum((i + 1) * r, nb * r - 1), 0),
+        memory_space=pltpu.VMEM,
     )
     out = jax.ShapeDtypeStruct((b, hp, wp), i1.dtype)
     ex, ey, et, invd = pl.pallas_call(
@@ -188,15 +200,18 @@ def _derivatives_impl(i1, i2, alpha, variant, interpret):
         ),
         grid=(b, nb),
         out_shape=(out, out, out, out),
-        in_specs=[band_spec, slab_spec, slab_spec] * 2,
+        in_specs=[band_spec, top_spec, bot_spec] * 2,
         out_specs=(band_spec,) * 4,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(f1, f1t, f1b, f2, f2t, f2b)
-    crop = (
+    )(f1, f1, f1, f2, f2, f2)
+    if not crop:
+        sq = (lambda a: a[0]) if squeeze else (lambda a: a)
+        return sq(ex), sq(ey), sq(et), sq(invd)
+    cr = (
         (lambda a: a[0, :h, :w]) if squeeze else (lambda a: a[:, :h, :w])
     )
-    return crop(ex), crop(ey), crop(et), crop(invd)
+    return cr(ex), cr(ey), cr(et), cr(invd)

@@ -102,6 +102,33 @@ def _hs_solve_impl(
     cfg: HSConfig,
     with_init: bool,
 ) -> Flow:
+    import os
+
+    if (
+        resolve_backend(cfg.backend) == "pallas"
+        and os.environ.get("HSFLOW_FUSED_SOLVE", "0") == "1"  # default off
+        # until hardware-validated (tools/hw_solve_fused_ab.py; the axon
+        # compile helper went down mid-validation this session)
+        and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
+    ):
+        # Whole-solve fused pipeline (kernels/solve_fused.py): derivatives +
+        # every sweep block in two launches, no inter-kernel marshalling.
+        # Returns None for frames/configs it does not cover.
+        from opticalflowhs_tpu.kernels.solve_fused import hs_solve_fused
+
+        dtype = jnp.dtype(cfg.dtype)
+        out = hs_solve_fused(
+            i1.astype(dtype),
+            i2.astype(dtype),
+            cfg.alpha,
+            cfg.iters,
+            cfg.deriv_variant,
+            s_cap=cfg.block_sweeps,
+            u0=u0.astype(dtype) if with_init else None,
+            v0=v0.astype(dtype) if with_init else None,
+        )
+        if out is not None:
+            return Flow(*out)
     ex, ey, et, inv_den = precompute(i1, i2, cfg)
     if with_init:
         u = u0.astype(ex.dtype)
