@@ -32,6 +32,23 @@ def _batched_solve_impl(
     # per chunk). Mesh-sharded stacks take the vmap path, which GSPMD splits
     # per chip with zero collectives.
     if stacked_ok and resolve_backend(cfg.backend) == "pallas":
+        import os
+
+        if os.environ.get("HSFLOW_FUSED_SOLVE", "0") == "1":
+            # Batched whole-solve fused pipeline (kernels/solve_fused.py):
+            # derivatives + every sweep block in two launches for HD+
+            # frames; None for the stacked-VMEM class below.
+            from opticalflowhs_tpu.kernels.solve_fused import (
+                hs_solve_fused_batched,
+            )
+
+            dtype = jnp.dtype(cfg.dtype)
+            out = hs_solve_fused_batched(
+                i1.astype(dtype), i2.astype(dtype), cfg.alpha, cfg.iters,
+                cfg.deriv_variant, s_cap=cfg.block_sweeps,
+            )
+            if out is not None:
+                return Flow(*out)
         # Batched fused kernel: the whole stack in one (B*Hp, Wp) array so
         # per-op dispatch cost amortizes over the batch (kernels/jacobi.py).
         from opticalflowhs_tpu.kernels.jacobi import jacobi_sweeps_batched

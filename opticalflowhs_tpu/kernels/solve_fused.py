@@ -350,6 +350,193 @@ def _solve_warm_bwd(alpha, n_sweeps, variant, geom, interpret, res, ct):
 _solve_warm_ad.defvjp(_solve_warm_fwd, _solve_warm_bwd)
 
 
+# -- batched twin (config-2/4 video stacks) ------------------------------------
+
+
+def _mega_kernel_b(ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
+                   et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
+                   ua_ref, ub_ref, va_ref, vb_ref,
+                   uw_ref, vw_ref, sems, *, s: int, sigma: int, band: int,
+                   h: int, w: int, aligned_lr: tuple):
+    """Batched _mega_kernel: grid (n_blocks, B, n_bands), zero-init only
+    (the batch entry always starts from u = v = 0)."""
+    k = pl.program_id(0)
+    b = pl.program_id(1)
+    i = pl.program_id(2)
+    win = band + 2 * sigma
+
+    def move(pairs):
+        dmas = [
+            pltpu.make_async_copy(src, dst, sems.at[j])
+            for j, (src, dst) in enumerate(pairs)
+        ]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+
+    def load(su_ref, sv_ref):
+        move([(su_ref.at[b, pl.ds(i * band, win)], uw_ref),
+              (sv_ref.at[b, pl.ds(i * band, win)], vw_ref)])
+
+    @pl.when(k == 0)
+    def _():
+        uw_ref[...] = jnp.zeros_like(uw_ref)
+        vw_ref[...] = jnp.zeros_like(vw_ref)
+
+    @pl.when(jnp.logical_and(k > 0, k % 2 == 1))
+    def _():
+        load(ub_ref, vb_ref)
+
+    @pl.when(jnp.logical_and(k > 0, k % 2 == 0))
+    def _():
+        load(ua_ref, va_ref)
+
+    def asm(band_ref, top_ref, bot_ref):
+        return jnp.concatenate([top_ref[0], band_ref[0], bot_ref[0]], axis=0)
+
+    ex = asm(ex_ref, ext_ref, exb_ref)
+    ey = asm(ey_ref, eyt_ref, eyb_ref)
+    et = asm(et_ref, ett_ref, etb_ref)
+    invd = asm(invd_ref, invdt_ref, invdb_ref)
+    u = uw_ref[...]
+    v = vw_ref[...]
+    local = jax.lax.broadcasted_iota(jnp.int32, (win, ex.shape[1]), 0)
+    gr = i * band - sigma + local
+    gc = jax.lax.broadcasted_iota(jnp.int32, (win, ex.shape[1]), 1)
+    masks = _edge_masks(gr, gc, h, w, (False, False) + aligned_lr)
+    for _k in range(s):
+        u, v = _kernel_step(u, v, ex, ey, et, invd, masks)
+    uw_ref[...] = u
+    vw_ref[...] = v
+
+    def store(du_ref, dv_ref):
+        move([(uw_ref.at[pl.ds(sigma, band)],
+               du_ref.at[b, pl.ds(sigma + i * band, band)]),
+              (vw_ref.at[pl.ds(sigma, band)],
+               dv_ref.at[b, pl.ds(sigma + i * band, band)])])
+
+    @pl.when(k % 2 == 0)
+    def _():
+        store(ub_ref, vb_ref)
+
+    @pl.when(k % 2 == 1)
+    def _():
+        store(ua_ref, va_ref)
+
+
+def _solve_impl_batched(i1, i2, alpha, n_sweeps, variant, geom, interpret):
+    from opticalflowhs_tpu.kernels.derivatives import _derivatives_impl
+
+    bsz, h, w = i1.shape
+    s, sigma, band, hp = geom
+    ex, ey, et, invd = _derivatives_impl(
+        i1, i2, alpha, variant, interpret, band=band, hp_out=hp, crop=False
+    )
+    wp = ex.shape[2]
+    nb = hp // band
+    n_blocks = n_sweeps // s
+    r = band // sigma
+    aligned_lr = (True, w == wp)
+
+    band_spec = pl.BlockSpec((1, band, wp), lambda k, b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    top_spec = pl.BlockSpec(
+        (1, sigma, wp),
+        lambda k, b, i: (b, jnp.maximum(i * r - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    bot_spec = pl.BlockSpec(
+        (1, sigma, wp),
+        lambda k, b, i: (b, jnp.minimum((i + 1) * r, nb * r - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    buf = jax.ShapeDtypeStruct((bsz, hp + 2 * sigma, wp), ex.dtype)
+    ua, ub, va, vb = pl.pallas_call(
+        functools.partial(_mega_kernel_b, s=s, sigma=sigma, band=band,
+                          h=h, w=w, aligned_lr=aligned_lr),
+        grid=(n_blocks, bsz, nb),
+        out_shape=(buf, buf, buf, buf),
+        in_specs=[band_spec, top_spec, bot_spec] * 4,
+        out_specs=(any_spec,) * 4,
+        scratch_shapes=[
+            pltpu.VMEM((band + 2 * sigma, wp), ex.dtype),
+            pltpu.VMEM((band + 2 * sigma, wp), ex.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ex, ex, ex, ey, ey, ey, et, et, et, invd, invd, invd)
+    uf, vf = (ub, vb) if n_blocks % 2 == 1 else (ua, va)
+    return uf[:, sigma : sigma + h, :w], vf[:, sigma : sigma + h, :w]
+
+
+def _jnp_twin_batched(i1, i2, alpha, n_sweeps, variant):
+    return jax.vmap(
+        lambda a, b: _jnp_twin(a, b, None, None, alpha, n_sweeps, variant)
+    )(i1, i2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _solve_batched_ad(i1, i2, alpha, n_sweeps, variant, geom, interpret):
+    return _solve_impl_batched(i1, i2, alpha, n_sweeps, variant, geom,
+                               interpret)
+
+
+def _solve_batched_fwd(i1, i2, alpha, n_sweeps, variant, geom, interpret):
+    out = _solve_impl_batched(i1, i2, alpha, n_sweeps, variant, geom,
+                              interpret)
+    return out, (i1, i2)
+
+
+def _solve_batched_bwd(alpha, n_sweeps, variant, geom, interpret, res, ct):
+    i1, i2 = res
+    _, vjp = jax.vjp(
+        lambda a, b: _jnp_twin_batched(a, b, alpha, n_sweeps, variant),
+        i1, i2,
+    )
+    return vjp(ct)
+
+
+_solve_batched_ad.defvjp(_solve_batched_fwd, _solve_batched_bwd)
+
+
+def hs_solve_fused_batched(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    alpha: float,
+    n_sweeps: int,
+    variant: str = "hs_cube",
+    s_cap: int = 0,
+    interpret: bool | None = None,
+):
+    """Batched whole-solve fused pipeline for (B, H, W) stacks whose frames
+    are banded-class (HD+); returns (u, v) or None (caller falls back —
+    sub-HD frames take the stacked-VMEM batched kernel, which is already
+    one launch)."""
+    if i1.ndim != 3 or i1.shape[0] == 0 or n_sweeps < 2:
+        return None
+    from opticalflowhs_tpu.kernels.jacobi import _BATCH_IMG_BYTES
+
+    bsz, h, w = i1.shape
+    sub = _sublane(i1.dtype)
+    wp = _round_up(w, _LANE)
+    nbytes = jnp.dtype(i1.dtype).itemsize
+    if _round_up(h, sub) * wp * nbytes <= _BATCH_IMG_BYTES:
+        return None  # stacked-VMEM class
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    geom = pick_geometry(h, wp, n_sweeps, i1.dtype, s_cap if s_cap > 0 else _MAX_S)
+    if geom is None:
+        return None
+    return _solve_batched_ad(i1, i2, float(alpha), n_sweeps, variant, geom,
+                             interpret)
+
+
 def hs_solve_fused(
     i1: jnp.ndarray,
     i2: jnp.ndarray,

@@ -121,6 +121,47 @@ def test_solver_routing(small_budget, monkeypatch):
     assert float(jnp.abs(fp.v - fj.v).max()) <= TOL
 
 
+def test_batched_matches_oracle(small_budget, monkeypatch):
+    import opticalflowhs_tpu.kernels.jacobi as jk
+
+    # shrink the stacked-VMEM threshold so small test frames are
+    # "HD-class" for the batched routing
+    monkeypatch.setattr(jk, "_BATCH_IMG_BYTES", 1)
+    rng = np.random.default_rng(13)
+    b, h, w = 3, 160, 131
+    i1 = jnp.asarray(rng.uniform(0, 1, (b, h, w)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (b, h, w)).astype(np.float32))
+    out = sf.hs_solve_fused_batched(i1, i2, 0.5, 12, interpret=True)
+    assert out is not None
+    for k in range(b):
+        ur, vr = _oracle(i1[k], i2[k], 0.5, 12)
+        assert float(jnp.abs(out[0][k] - ur).max()) <= TOL
+        assert float(jnp.abs(out[1][k] - vr).max()) <= TOL
+
+
+def test_batched_grad_matches_jnp(small_budget, monkeypatch):
+    import opticalflowhs_tpu.kernels.jacobi as jk
+
+    monkeypatch.setattr(jk, "_BATCH_IMG_BYTES", 1)
+    rng = np.random.default_rng(17)
+    b, h, w = 2, 144, 128
+    i1 = jnp.asarray(rng.uniform(0, 1, (b, h, w)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (b, h, w)).astype(np.float32))
+
+    def loss_fused(a, c):
+        u, v = sf.hs_solve_fused_batched(a, c, 0.5, 8, interpret=True)
+        return jnp.sum(u * u + v * v)
+
+    def loss_jnp(a, c):
+        u, v = jax.vmap(lambda x, y: _oracle(x, y, 0.5, 8))(a, c)
+        return jnp.sum(u * u + v * v)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(i1, i2)
+    g2 = jax.grad(loss_jnp, argnums=(0, 1))(i1, i2)
+    for a, c in zip(g1, g2):
+        assert float(jnp.abs(a - c).max()) <= 1e-4
+
+
 def test_grad_matches_jnp_twin(small_budget):
     i1, i2 = _frames(160, 128, seed=7)
 
