@@ -69,24 +69,23 @@ _STEP_PS = 30_000_000       # ps per grid step
 
 
 def pick_geometry(h: int, wp: int, n_sweeps: int, dtype, s_cap: int):
-    """Choose (s, sigma, band, hp): s | n_sweeps, sigma = round_up(s, sub)
-    divides band, window (band + 2*sigma) rows fit the VMEM budget.
-    Candidates are ranked by a modeled solve time = redundant-inclusive
-    compute (window rows x sweeps) + per-step fixed cost, which trades
-    temporal-blocking depth (fewer passes) against halo redundancy and
-    step count. Returns None when no admissible geometry exists."""
+    """Choose (s, rem, sigma, band, hp): sigma = round_up(s, sub) divides
+    band, window (band + 2*sigma) rows fit the VMEM budget. A remainder
+    rem = n_sweeps %% s > 0 runs as the grid's final block phase inside the
+    SAME launch (pl.when on the block index), so s is unconstrained by
+    divisibility. Candidates are ranked by a modeled solve time =
+    redundant-inclusive compute (window rows x sweeps) + per-step fixed
+    cost, which trades temporal-blocking depth (fewer passes) against
+    halo redundancy and step count. Returns None when no admissible
+    geometry exists (caller falls back to the multi-launch path)."""
     sub = _sublane(dtype)
     dtype_bytes = jnp.dtype(dtype).itemsize
     unit = wp * dtype_bytes * _ARRAYS
     cap = max(1, min(s_cap, _MAX_S, n_sweeps))
     best = None
-    for n_blocks in range(1, n_sweeps + 1):
-        if n_sweeps % n_blocks:
-            continue
-        s = n_sweeps // n_blocks
-        if s < 8:
-            break    # tiny blocks drown in per-step overhead; fall back
-        if s > cap:
+    for s in range(8, cap + 1):
+        n_full, rem = divmod(n_sweeps, s)
+        if n_full == 0:
             continue
         sigma = _round_up(s, sub)
         # band: multiple of sigma, window fits VMEM, fewest bands (halo
@@ -100,19 +99,21 @@ def pick_geometry(h: int, wp: int, n_sweeps: int, dtype, s_cap: int):
         units = -(-h_units // nb)                # even split
         band = units * sigma
         hp = band * nb
+        n_blocks = n_full + (1 if rem else 0)
         steps = n_blocks * nb
-        row_sweeps = steps * (band + 2 * sigma) * s
+        row_sweeps = (n_full * s + rem) * nb * (band + 2 * sigma)
         cost = row_sweeps * wp * _ROW_SWEEP_PS + steps * _STEP_PS
         if best is None or cost < best[0]:
-            best = (cost, (s, sigma, band, hp))
+            best = (cost, (s, rem, sigma, band, hp))
     return None if best is None else best[1]
 
 
 def _mega_kernel(ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
                  et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
                  u0_ref, v0_ref, ua_ref, ub_ref, va_ref, vb_ref,
-                 uw_ref, vw_ref, sems, *, s: int, sigma: int, band: int,
-                 h: int, w: int, aligned_lr: tuple, zero_init: bool):
+                 uw_ref, vw_ref, sems, *, s: int, rem: int, sigma: int,
+                 band: int, h: int, w: int, aligned_lr: tuple,
+                 zero_init: bool, n_full: int):
     k = pl.program_id(0)
     i = pl.program_id(1)
     win = band + 2 * sigma
@@ -157,16 +158,30 @@ def _mega_kernel(ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
     ey = asm(ey_ref, eyt_ref, eyb_ref)
     et = asm(et_ref, ett_ref, etb_ref)
     invd = asm(invd_ref, invdt_ref, invdb_ref)
-    u = uw_ref[...]
-    v = vw_ref[...]
     local = jax.lax.broadcasted_iota(jnp.int32, (win, ex.shape[1]), 0)
     gr = i * band - sigma + local
     gc = jax.lax.broadcasted_iota(jnp.int32, (win, ex.shape[1]), 1)
     masks = _edge_masks(gr, gc, h, w, (False, False) + aligned_lr)
-    for _k in range(s):
-        u, v = _kernel_step(u, v, ex, ey, et, invd, masks)
-    uw_ref[...] = u
-    vw_ref[...] = v
+
+    def run(ns):
+        u = uw_ref[...]
+        v = vw_ref[...]
+        for _k in range(ns):
+            u, v = _kernel_step(u, v, ex, ey, et, invd, masks)
+        uw_ref[...] = u
+        vw_ref[...] = v
+
+    if rem == 0:
+        run(s)
+    else:
+        # remainder phase: the grid's final block runs rem (< s) sweeps
+        @pl.when(k < n_full)
+        def _():
+            run(s)
+
+        @pl.when(k == n_full)
+        def _():
+            run(rem)
 
     def store(du_ref, dv_ref):
         move([(uw_ref.at[pl.ds(sigma, band)],
@@ -183,18 +198,20 @@ def _mega_kernel(ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
         store(ua_ref, va_ref)
 
 
-def sweeps_fused_v2(ex, ey, et, invd, n_sweeps, s, sigma, band, h, w,
+def sweeps_fused_v2(ex, ey, et, invd, n_sweeps, s, rem, sigma, band, h, w,
                     interpret, u0=None, v0=None):
     """All n_sweeps on (hp, wp) padded field arrays in ONE launch.
 
-    Preconditions (pick_geometry): s | n_sweeps, sigma = round_up(s, sub)
-    divides band, hp = arrays' row count is a multiple of band. u0/v0 are
+    Preconditions (pick_geometry): n_sweeps = (n_full * s) + rem with
+    rem < s run by the grid's final block phase; sigma = round_up(s, sub)
+    divides band; hp = arrays' row count is a multiple of band. u0/v0 are
     optional (hp, wp) warm-start fields; None means u = v = 0, written
     in-kernel at block 0.
     """
     hp, wp = ex.shape
     nb = hp // band
-    n_blocks = n_sweeps // s
+    n_full = (n_sweeps - rem) // s
+    n_blocks = n_full + (1 if rem else 0)
     r = band // sigma                      # sigma-blocks per band
     zero_init = u0 is None
     aligned_lr = (True, w == wp)
@@ -226,9 +243,9 @@ def sweeps_fused_v2(ex, ey, et, invd, n_sweeps, s, sigma, band, h, w,
         u0p = jnp.pad(u0, ((sigma, sigma), (0, 0)))
         v0p = jnp.pad(v0, ((sigma, sigma), (0, 0)))
     ua, ub, va, vb = pl.pallas_call(
-        functools.partial(_mega_kernel, s=s, sigma=sigma, band=band,
+        functools.partial(_mega_kernel, s=s, rem=rem, sigma=sigma, band=band,
                           h=h, w=w, aligned_lr=aligned_lr,
-                          zero_init=zero_init),
+                          zero_init=zero_init, n_full=n_full),
         grid=(n_blocks, nb),
         out_shape=(buf, buf, buf, buf),
         in_specs=[band_spec, top_spec, bot_spec] * 4 + [any_spec] * 2,
@@ -272,7 +289,7 @@ def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
     from opticalflowhs_tpu.kernels.derivatives import _derivatives_impl
 
     h, w = i1.shape
-    s, sigma, band, hp = geom
+    s, rem, sigma, band, hp = geom
     ex, ey, et, invd = _derivatives_impl(
         i1, i2, alpha, variant, interpret, band=band, hp_out=hp, crop=False
     )
@@ -281,7 +298,7 @@ def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
         u0 = pad_to_tiles(u0, hp, wp)
         v0 = pad_to_tiles(v0, hp, wp)
     u, v = sweeps_fused_v2(
-        ex, ey, et, invd, n_sweeps, s, sigma, band, h, w, interpret,
+        ex, ey, et, invd, n_sweeps, s, rem, sigma, band, h, w, interpret,
         u0=u0, v0=v0,
     )
     return u[:h, :w], v[:h, :w]
@@ -356,8 +373,9 @@ _solve_warm_ad.defvjp(_solve_warm_fwd, _solve_warm_bwd)
 def _mega_kernel_b(ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
                    et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
                    ua_ref, ub_ref, va_ref, vb_ref,
-                   uw_ref, vw_ref, sems, *, s: int, sigma: int, band: int,
-                   h: int, w: int, aligned_lr: tuple):
+                   uw_ref, vw_ref, sems, *, s: int, rem: int, sigma: int,
+                   band: int, h: int, w: int, aligned_lr: tuple,
+                   n_full: int):
     """Batched _mega_kernel: grid (n_blocks, B, n_bands), zero-init only
     (the batch entry always starts from u = v = 0)."""
     k = pl.program_id(0)
@@ -399,16 +417,29 @@ def _mega_kernel_b(ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
     ey = asm(ey_ref, eyt_ref, eyb_ref)
     et = asm(et_ref, ett_ref, etb_ref)
     invd = asm(invd_ref, invdt_ref, invdb_ref)
-    u = uw_ref[...]
-    v = vw_ref[...]
     local = jax.lax.broadcasted_iota(jnp.int32, (win, ex.shape[1]), 0)
     gr = i * band - sigma + local
     gc = jax.lax.broadcasted_iota(jnp.int32, (win, ex.shape[1]), 1)
     masks = _edge_masks(gr, gc, h, w, (False, False) + aligned_lr)
-    for _k in range(s):
-        u, v = _kernel_step(u, v, ex, ey, et, invd, masks)
-    uw_ref[...] = u
-    vw_ref[...] = v
+
+    def run(ns):
+        u = uw_ref[...]
+        v = vw_ref[...]
+        for _k in range(ns):
+            u, v = _kernel_step(u, v, ex, ey, et, invd, masks)
+        uw_ref[...] = u
+        vw_ref[...] = v
+
+    if rem == 0:
+        run(s)
+    else:
+        @pl.when(k < n_full)
+        def _():
+            run(s)
+
+        @pl.when(k == n_full)
+        def _():
+            run(rem)
 
     def store(du_ref, dv_ref):
         move([(uw_ref.at[pl.ds(sigma, band)],
@@ -429,13 +460,14 @@ def _solve_impl_batched(i1, i2, alpha, n_sweeps, variant, geom, interpret):
     from opticalflowhs_tpu.kernels.derivatives import _derivatives_impl
 
     bsz, h, w = i1.shape
-    s, sigma, band, hp = geom
+    s, rem, sigma, band, hp = geom
     ex, ey, et, invd = _derivatives_impl(
         i1, i2, alpha, variant, interpret, band=band, hp_out=hp, crop=False
     )
     wp = ex.shape[2]
     nb = hp // band
-    n_blocks = n_sweeps // s
+    n_full = (n_sweeps - rem) // s
+    n_blocks = n_full + (1 if rem else 0)
     r = band // sigma
     aligned_lr = (True, w == wp)
 
@@ -454,8 +486,9 @@ def _solve_impl_batched(i1, i2, alpha, n_sweeps, variant, geom, interpret):
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     buf = jax.ShapeDtypeStruct((bsz, hp + 2 * sigma, wp), ex.dtype)
     ua, ub, va, vb = pl.pallas_call(
-        functools.partial(_mega_kernel_b, s=s, sigma=sigma, band=band,
-                          h=h, w=w, aligned_lr=aligned_lr),
+        functools.partial(_mega_kernel_b, s=s, rem=rem, sigma=sigma,
+                          band=band, h=h, w=w, aligned_lr=aligned_lr,
+                          n_full=n_full),
         grid=(n_blocks, bsz, nb),
         out_shape=(buf, buf, buf, buf),
         in_specs=[band_spec, top_spec, bot_spec] * 4,

@@ -86,21 +86,30 @@ def test_vmem_class_returns_none():
     assert sf.hs_solve_fused(i1, i2, 0.5, 10, interpret=True) is None
 
 
-def test_prime_iters_returns_none(small_budget):
-    # 37 prime and > _MAX_S: no admissible s | iters
+def test_prime_iters_runs_remainder_phase(small_budget):
+    # 37 prime: the grid's final block runs the rem < s sweeps in-launch
     i1, i2 = _frames(192, 128)
-    assert sf.hs_solve_fused(i1, i2, 0.5, 37, interpret=True) is None
+    out = sf.hs_solve_fused(i1, i2, 0.5, 37, interpret=True)
+    assert out is not None
+    ur, vr = _oracle(i1, i2, 0.5, 37)
+    assert float(jnp.abs(out[0] - ur).max()) <= TOL
+    assert float(jnp.abs(out[1] - vr).max()) <= TOL
+
+
+def test_too_few_iters_returns_none(small_budget):
+    i1, i2 = _frames(192, 128)
+    assert sf.hs_solve_fused(i1, i2, 0.5, 6, interpret=True) is None
 
 
 def test_geometry_invariants(small_budget):
     for h, w, n in [(192, 128, 100), (1088, 1920, 100), (2176, 3840, 100),
-                    (200, 130, 20), (4352, 7680, 50)]:
+                    (200, 130, 20), (4352, 7680, 50), (256, 140, 37)]:
         wp = ((w + 127) // 128) * 128
         geom = sf.pick_geometry(h, wp, n, jnp.float32, sf._MAX_S)
         if geom is None:
             continue
-        s, sigma, band, hp = geom
-        assert n % s == 0
+        s, rem, sigma, band, hp = geom
+        assert rem == n % s and rem < s
         assert band % sigma == 0
         assert hp % band == 0 and hp >= h
         assert sigma >= s
