@@ -70,8 +70,57 @@ def bench(h, w, iters, n=10, check=False):
           f"{h*w*iters/dt2/1e9:.2f} Gpx*sweeps/s", flush=True)
 
 
+def bench_batched(b, h, w, iters, n=5):
+    from opticalflowhs_tpu.kernels.solve_fused import hs_solve_fused_batched
+
+    rng = np.random.default_rng(1)
+    i1 = jnp.asarray(rng.uniform(0, 1, (b, h, w)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (b, h, w)).astype(np.float32))
+    fn = jax.jit(lambda a, c: hs_solve_fused_batched(a, c, 0.5, iters,
+                                                     s_cap=S_CAP))
+    try:
+        out = fn(i1, i2); float(jnp.sum(out[0]))
+    except Exception as e:
+        print(f"fused-b B{b}x{h}x{w} i{iters}: FAIL {str(e)[:300]}", flush=True)
+        return
+    # exactness of lane 0 vs oracle
+    ex, ey, et = stencils.derivatives(i1[0], i2[0])
+    invd = 1.0 / (0.25 + ex * ex + ey * ey)
+    u = jnp.zeros_like(ex); v = jnp.zeros_like(ex)
+    for _ in range(iters):
+        u, v = stencils.jacobi_step(u, v, ex, ey, et, invd)
+    d = float(jnp.abs(out[0][0] - u).max())
+    print(f"fused-b B{b}x{h}x{w} i{iters}: max|fused-jnp| = {d}", flush=True)
+    dt = timeit(lambda: fn(i1, i2), n)
+    print(f"fused-b B{b}x{h}x{w} i{iters}: {dt*1e3:.3f} ms, "
+          f"{b*h*w*iters/dt/1e9:.2f} Gpx*sweeps/s", flush=True)
+
+
+def check_warm(h, w, iters=30):
+    i1, i2 = frames(h, w, seed=2)
+    rng = np.random.default_rng(3)
+    u0 = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+    fn = jax.jit(lambda a, c, u, v: hs_solve_fused(a, c, 0.5, iters,
+                                                   s_cap=S_CAP, u0=u, v0=v))
+    try:
+        out = fn(i1, i2, u0, v0); float(jnp.sum(out[0]))
+    except Exception as e:
+        print(f"warm {h}x{w}: FAIL {str(e)[:300]}", flush=True)
+        return
+    ex, ey, et = stencils.derivatives(i1, i2)
+    invd = 1.0 / (0.25 + ex * ex + ey * ey)
+    u, v = u0, v0
+    for _ in range(iters):
+        u, v = stencils.jacobi_step(u, v, ex, ey, et, invd)
+    d = max(float(jnp.abs(out[0] - u).max()), float(jnp.abs(out[1] - v).max()))
+    print(f"warm {h}x{w} i{iters}: max|fused-jnp| = {d}", flush=True)
+
+
 bench(1088, 1920, 100, check=True)
 bench(2176, 3840, 100, n=5, check=True)
 bench(1088, 1920, 20)
+bench_batched(2, 1088, 1920, 100)
+check_warm(1088, 1920)
 bench(4352, 7680, 50, n=5)
 print("DONE", flush=True)
