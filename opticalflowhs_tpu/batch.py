@@ -34,7 +34,10 @@ def _batched_solve_impl(
     if stacked_ok and resolve_backend(cfg.backend) == "pallas":
         import os
 
-        if os.environ.get("HSFLOW_FUSED_SOLVE", "0") == "1":
+        if (
+            os.environ.get("HSFLOW_FUSED_SOLVE", "0") == "1"
+            and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
+        ):
             # Batched whole-solve fused pipeline (kernels/solve_fused.py):
             # derivatives + every sweep block in two launches for HD+
             # frames; None for the stacked-VMEM class below.

@@ -236,11 +236,11 @@ def sweeps_fused_v2(ex, ey, et, invd, n_sweeps, s, rem, sigma, band, h, w,
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     buf = jax.ShapeDtypeStruct((hp + 2 * sigma, wp), ex.dtype)
     if zero_init:
-        # dummy 1-row stand-ins: the kernel never touches them
+        # minimal (one sublane tile) stand-ins: the kernel never reads them
         u0p = jnp.zeros((8, wp), ex.dtype)
         v0p = u0p
     else:
-        u0p = jnp.pad(u0, ((sigma, sigma), (0, 0)))
+        u0p = jnp.pad(u0, ((sigma, sigma), (0, 0)))  # (hp, wp) from caller
         v0p = jnp.pad(v0, ((sigma, sigma), (0, 0)))
     ua, ub, va, vb = pl.pallas_call(
         functools.partial(_mega_kernel, s=s, rem=rem, sigma=sigma, band=band,
@@ -268,7 +268,7 @@ def sweeps_fused_v2(ex, ey, et, invd, n_sweeps, s, rem, sigma, band, h, w,
 # -- whole-solve orchestration -------------------------------------------------
 
 
-_VMEM_ARRAYS_WHOLE = 17  # jacobi._VMEM_ARRAYS: below this the VMEM path wins
+from opticalflowhs_tpu.kernels.jacobi import _VMEM_ARRAYS as _VMEM_ARRAYS_WHOLE
 
 
 def applicable(i1, n_sweeps: int, s_cap: int):
@@ -295,6 +295,9 @@ def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
     )
     wp = ex.shape[1]
     if u0 is not None:
+        # one combined pad straight to (hp, wp); sweeps_fused_v2 adds the
+        # sigma rows (kept there so its contract is uniform for callers
+        # that already hold padded fields)
         u0 = pad_to_tiles(u0, hp, wp)
         v0 = pad_to_tiles(v0, hp, wp)
     u, v = sweeps_fused_v2(
@@ -305,18 +308,17 @@ def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
 
 
 def _jnp_twin(i1, i2, u0, v0, alpha, n_sweeps, variant):
-    from opticalflowhs_tpu.ops import stencils
+    """Whole-solve jnp twin for the backward pass: composes the SAME
+    canonical twins the other backends' VJPs use (kernel == oracle
+    invariant, CLAUDE.md), so a stencil change propagates everywhere."""
+    from opticalflowhs_tpu.kernels.derivatives import _jnp_deriv_twin
+    from opticalflowhs_tpu.kernels.jacobi import _jnp_sweeps
 
-    ex, ey, et = stencils.derivatives(i1, i2, variant)
-    invd = 1.0 / (alpha * alpha + ex * ex + ey * ey)
+    ex, ey, et, invd = _jnp_deriv_twin(i1, i2, alpha, variant)
     if u0 is None:
         u0 = jnp.zeros_like(ex)
         v0 = jnp.zeros_like(ex)
-
-    def body(_, uv):
-        return stencils.jacobi_step(uv[0], uv[1], ex, ey, et, invd)
-
-    return jax.lax.fori_loop(0, n_sweeps, body, (u0, v0))
+    return _jnp_sweeps(u0, v0, ex, ey, et, invd, n_sweeps)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -584,11 +586,14 @@ def hs_solve_fused(
     """Whole HS solve (derivatives + n sweeps) in two Pallas launches.
 
     Returns (u, v), or None when the fused pipeline does not apply
-    (VMEM-class frame, batched input, or no admissible block geometry) —
-    the caller then takes the classic precompute+sweeps path. Exact twin
+    (VMEM-class frame, batched input, s_cap < 8 — block sweeps below 8
+    drown in per-step overhead — or no admissible block geometry); the
+    caller then takes the classic precompute+sweeps path. Exact twin
     of that path (same kernels' arithmetic); differentiable via a
     whole-solve custom_vjp against the jnp stencil twin.
     """
+    if (u0 is None) != (v0 is None):
+        raise ValueError("u0 and v0 must be given together")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     geom = applicable(i1, n_sweeps, s_cap if s_cap > 0 else _MAX_S)
