@@ -31,7 +31,11 @@ def _batched_solve_impl(
     # defeat a P("batch") mesh sharding (GSPMD would gather the whole batch
     # per chunk). Mesh-sharded stacks take the vmap path, which GSPMD splits
     # per chip with zero collectives.
-    if stacked_ok and resolve_backend(cfg.backend) == "pallas":
+    if (
+        stacked_ok
+        and cfg.solver == "jacobi"  # SOR takes the vmap path below
+        and resolve_backend(cfg.backend) == "pallas"
+    ):
         import os
 
         if (

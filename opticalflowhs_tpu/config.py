@@ -24,6 +24,15 @@ DERIV_VARIANTS = ("hs_cube", "central")
 
 BACKENDS = ("auto", "jnp", "pallas")
 
+# Relaxation schemes:
+#  - "jacobi": the reference's scheme (HS81 eq. 12) — the behavioral-parity
+#    default; every equivalence/EPE gate runs against it.
+#  - "sor": 4-color successive over-relaxation (Gauss-Seidel ordering by
+#    colors, omega over-relaxation) — a strict extension for time-to-EPE:
+#    ~4x the per-sweep cost, an order of magnitude fewer sweeps at small
+#    alpha (ops/stencils.sor_step, kernels/sor.py, tests/unit/test_sor.py).
+SOLVERS = ("jacobi", "sor")
+
 
 @dataclass(frozen=True)
 class HSConfig:
@@ -37,12 +46,18 @@ class HSConfig:
     block_sweeps: int = 0       # banded temporal blocking: sweeps per HBM
                                 # round-trip (0 = auto; VMEM path always blocks maximally)
     checkpoint_every: int = 0   # 0 = never; else chunk fori_loop every K sweeps
+    solver: str = "jacobi"      # relaxation scheme (SOLVERS)
+    omega: float = 1.9          # SOR over-relaxation factor, (0, 2)
 
     def __post_init__(self):
         if self.deriv_variant not in DERIV_VARIANTS:
             raise ValueError(f"deriv_variant must be one of {DERIV_VARIANTS}")
         if self.backend not in BACKENDS:
             raise ValueError(f"backend must be one of {BACKENDS}")
+        if self.solver not in SOLVERS:
+            raise ValueError(f"solver must be one of {SOLVERS}")
+        if not 0.0 < self.omega < 2.0:
+            raise ValueError("omega must be in (0, 2)")
         if self.iters < 0:
             raise ValueError("iters must be >= 0")
         if self.block_sweeps < 0:

@@ -190,6 +190,13 @@ def hs_solve_tiled(
         raise ValueError("hs_solve_tiled requires a Mesh (dist.make_mesh)")
     if halo_sweeps < 1:
         raise ValueError("halo_sweeps must be >= 1")
+    if cfg.solver != "jacobi":
+        # Gauss-Seidel ordering needs a fresh halo per COLOR (4x the
+        # exchanges) to stay exactly equal to the untiled solve; not built.
+        raise ValueError(
+            "hs_solve_tiled supports solver='jacobi' only; SOR is a "
+            "single-device accelerator (see solver.sweeps)"
+        )
     if halo_impl not in ("ppermute", "rdma"):
         raise ValueError("halo_impl must be 'ppermute' or 'rdma'")
     if halo_impl == "rdma":

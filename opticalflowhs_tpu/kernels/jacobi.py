@@ -141,35 +141,39 @@ def _shift(a, shift: int, axis: int):
     return pltpu.roll(a, shift=shift, axis=axis)
 
 
-def _kernel_step(u, v, ex, ey, et, invd, masks):
-    """One Jacobi sweep on a (th, tw) working tile.
+def _navg(a, masks):
+    """Kernel-side 8-neighbor average on a (th, tw) working tile.
 
     masks = (top, bottom, left, right): boolean grids marking the true image
     edges where the HS clamp replaces the rolled neighbor — or None when
     that true edge coincides with the array edge, in which case a clamped
     concat shift implements the boundary in ONE op instead of roll+where
     (the kernels are per-op-dispatch-bound; docs/PERFORMANCE.md). Same
-    association order as ops.stencils.jacobi_step.
+    association order as ops.stencils.neighbor_avg — shared by the Jacobi
+    and SOR kernels so the oracle-equivalence chain covers both.
     """
-    th, tw = u.shape
+    th, tw = a.shape
     m_top, m_bot, m_lf, m_rt = masks
 
-    def sh(a, m, shift, axis):
+    def sh(x, m, shift, axis):
         if m is None:
-            return _cshift(a, shift, axis)
-        return jnp.where(m, a, _shift(a, shift, axis))
+            return _cshift(x, shift, axis)
+        return jnp.where(m, x, _shift(x, shift, axis))
 
-    def navg(a):
-        up = sh(a, m_top, 1, 0)            # a(i-1)
-        dn = sh(a, m_bot, th - 1, 0)       # a(i+1)
-        t = up + 2.0 * a + dn
-        rt = sh(t, m_lf, 1, 1)             # t(j-1)
-        lf = sh(t, m_rt, tw - 1, 1)        # t(j+1)
-        s = rt + 2.0 * t + lf
-        return s * (1.0 / 12.0) - a * (1.0 / 3.0)
+    up = sh(a, m_top, 1, 0)            # a(i-1)
+    dn = sh(a, m_bot, th - 1, 0)       # a(i+1)
+    t = up + 2.0 * a + dn
+    rt = sh(t, m_lf, 1, 1)             # t(j-1)
+    lf = sh(t, m_rt, tw - 1, 1)        # t(j+1)
+    s = rt + 2.0 * t + lf
+    return s * (1.0 / 12.0) - a * (1.0 / 3.0)
 
-    ubar = navg(u)
-    vbar = navg(v)
+
+def _kernel_step(u, v, ex, ey, et, invd, masks):
+    """One Jacobi sweep on a (th, tw) working tile (see _navg for the mask
+    contract). Same association order as ops.stencils.jacobi_step."""
+    ubar = _navg(u, masks)
+    vbar = _navg(v, masks)
     frac = (ex * ubar + ey * vbar + et) * invd
     return ubar - ex * frac, vbar - ey * frac
 

@@ -166,6 +166,55 @@ def derivatives_masked(
     raise ValueError(f"unknown derivative variant {variant!r}")
 
 
+def color_masks(h: int, w: int) -> tuple:
+    """The four 2x2-parity color grids for multi-color relaxation.
+
+    The HS neighborhood couples all 8 neighbors (diagonals included), so a
+    2-coloring cannot decouple it; under the (row%2, col%2) 4-coloring no
+    two same-color pixels are neighbors, making the parallel per-color
+    update EXACTLY a Gauss-Seidel ordering (colors sequentially, pixels
+    within a color simultaneously)."""
+    gr = jnp.arange(h)[:, None]
+    gc = jnp.arange(w)[None, :]
+    return tuple(
+        (gr % 2 == pi) & (gc % 2 == pj) for pi in (0, 1) for pj in (0, 1)
+    )
+
+
+def sor_step(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    et: jnp.ndarray,
+    inv_den: jnp.ndarray,
+    omega: float,
+    colors,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One 4-color SOR sweep (successive over-relaxation, cfg.solver="sor").
+
+    Per color c: compute the Jacobi target (u*, v*) from the CURRENT field
+    (which already contains this sweep's earlier colors — Gauss-Seidel
+    ordering) and blend u <- u + omega*(u* - u) on c's pixels only. With
+    omega = 1 this is exact 4-color Gauss-Seidel; 1 < omega < 2 is SOR,
+    the classic variational-flow accelerator (Bruhn et al. 2005). Costs
+    4 neighborhood averages per sweep but cuts the iteration count by an
+    order of magnitude or more at small alpha (tests/unit/test_sor.py).
+
+    Association order matches neighbor_avg/jacobi_step exactly so the
+    Pallas twin (kernels/sor.py) reproduces it bitwise.
+    """
+    for cm in colors:
+        ubar = neighbor_avg(u)
+        vbar = neighbor_avg(v)
+        frac = (ex * ubar + ey * vbar + et) * inv_den
+        un = ubar - ex * frac
+        vn = vbar - ey * frac
+        u = jnp.where(cm, u + omega * (un - u), u)
+        v = jnp.where(cm, v + omega * (vn - v), v)
+    return u, v
+
+
 def jacobi_step(
     u: jnp.ndarray,
     v: jnp.ndarray,

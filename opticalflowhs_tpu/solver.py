@@ -74,9 +74,26 @@ def sweeps(
     n: int,
     cfg: HSConfig,
 ) -> Flow:
-    """Run `n` Jacobi sweeps on-device. `n` and `cfg` are trace-static."""
+    """Run `n` relaxation sweeps on-device. `n` and `cfg` are trace-static."""
     backend = resolve_backend(cfg.backend)
     if n == 0:
+        return Flow(u, v)
+    if cfg.solver == "sor":
+        from opticalflowhs_tpu.kernels import sor as sor_kernels
+
+        if backend == "pallas" and sor_kernels.fits_vmem(*u.shape[-2:], u.dtype):
+            u, v = sor_kernels.sor_sweeps(
+                u, v, ex, ey, et, inv_den, n, cfg.omega
+            )
+            return Flow(u, v)
+        colors = stencils.color_masks(*u.shape[-2:])
+
+        def sor_body(_, uv):
+            return stencils.sor_step(
+                uv[0], uv[1], ex, ey, et, inv_den, cfg.omega, colors
+            )
+
+        u, v = lax.fori_loop(0, n, sor_body, (u, v))
         return Flow(u, v)
     if backend == "pallas":
         from opticalflowhs_tpu.kernels import jacobi as jacobi_kernels
@@ -105,7 +122,8 @@ def _hs_solve_impl(
     import os
 
     if (
-        resolve_backend(cfg.backend) == "pallas"
+        cfg.solver == "jacobi"
+        and resolve_backend(cfg.backend) == "pallas"
         and os.environ.get("HSFLOW_FUSED_SOLVE", "0") == "1"  # default off
         # until hardware-validated (tools/hw_solve_fused_ab.py; the axon
         # compile helper went down mid-validation this session)

@@ -92,7 +92,28 @@ def test_grad_batched_pallas_matches_jnp():
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gj), atol=1e-5)
 
 
+def test_grad_sor_pallas_matches_jnp():
+    """solver="sor" carries the same custom_vjp scheme (kernels/sor.py):
+    gradients flow through the SOR kernel path and equal the jnp backend."""
+    i1, i2, _ = translation_pair(16, 32, 1.0, 0.0, key=6)
+    i1 = jnp.asarray(i1)
+    i2 = jnp.asarray(i2)
+
+    def loss_fn(cfg):
+        def loss(a, b):
+            f = hs_solve(a, b, cfg)
+            return jnp.mean(f.u**2) + jnp.mean(f.v**2)
+        return loss
+
+    base = dict(alpha=0.5, iters=8, solver="sor", omega=1.6)
+    gj = jax.grad(loss_fn(HSConfig(backend="jnp", **base)))(i1, i2)
+    gp = jax.grad(loss_fn(HSConfig(backend="pallas", **base)))(i1, i2)
+    assert float(jnp.abs(gp).max()) > 0
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj), atol=1e-5)
+
+
 @pytest.mark.tpu
 def test_grad_pallas_real_kernel_matches_jnp():
     """Same as above but through the real Mosaic kernel on hardware."""
     test_grad_pallas_backend_matches_jnp()
+    test_grad_sor_pallas_matches_jnp()
