@@ -98,42 +98,61 @@ def _tile_body(
     th, tw = i1t.shape
     row0 = lax.axis_index("y") * th
     col0 = lax.axis_index("x") * tw
-    # Frames with (s+1)-px halo -> derivatives exact on the s-halo region.
-    f1 = halo_pad(i1t, s + 1)
-    f2 = halo_pad(i2t, s + 1)
-    dmasks = _tile_masks(row0 - (s + 1), col0 - (s + 1), f1.shape, h, w)
+    is_sor = cfg.solver == "sor"
+    # Halo width per exchange block: Jacobi's halo decays one ring per
+    # SWEEP; SOR's decays one ring per COLOR STAGE (a stage reads pixels
+    # updated this sweep), so s sweeps need a 4*s-px halo (4 colors/sweep).
+    hw = 4 * s if is_sor else s
+    # Frames with (hw+1)-px halo -> derivatives exact on the hw-halo region.
+    f1 = halo_pad(i1t, hw + 1)
+    f2 = halo_pad(i2t, hw + 1)
+    dmasks = _tile_masks(row0 - (hw + 1), col0 - (hw + 1), f1.shape, h, w)
     ex, ey, et = stencils.derivatives_masked(f1, f2, dmasks, cfg.deriv_variant)
     ex, ey, et = (unpad(a, 1) for a in (ex, ey, et))
     invd = 1.0 / (cfg.alpha * cfg.alpha + ex * ex + ey * ey)
 
     u = jnp.zeros_like(i1t)
     v = jnp.zeros_like(i1t)
-    use_pallas = resolve_backend(cfg.backend) == "pallas"
+    use_pallas = resolve_backend(cfg.backend) == "pallas" and not is_sor
     if use_pallas:
         from opticalflowhs_tpu.kernels.jacobi import tile_sweeps
     else:
-        smasks = _tile_masks(
-            row0 - s, col0 - s, (th + 2 * s, tw + 2 * s), h, w
-        )
+        pshape = (th + 2 * hw, tw + 2 * hw)
+        smasks = _tile_masks(row0 - hw, col0 - hw, pshape, h, w)
+        if is_sor:
+            # Colors keyed by GLOBAL parity — a tile whose offset is odd
+            # flips local parity (stencils.sor_step_masked docstring).
+            gr = row0 - hw + lax.broadcasted_iota(jnp.int32, pshape, 0)
+            gc = col0 - hw + lax.broadcasted_iota(jnp.int32, pshape, 1)
+            colors = tuple(
+                (gr % 2 == pi) & (gc % 2 == pj)
+                for pi in (0, 1) for pj in (0, 1)
+            )
 
     def block(uv, n_sweeps):
-        uu = halo_pad(uv[0], s)
-        vv = halo_pad(uv[1], s)
+        uu = halo_pad(uv[0], hw)
+        vv = halo_pad(uv[1], hw)
         if use_pallas:
             # Per-chip fused Pallas sweeps; clamp at true global edges via
             # the tile's traced global offset (SURVEY.md §3.5 hot loop).
             uu, vv = tile_sweeps(
-                uu, vv, ex, ey, et, invd, n_sweeps, row0 - s, col0 - s, h, w
+                uu, vv, ex, ey, et, invd, n_sweeps, row0 - hw, col0 - hw, h, w
             )
         else:
-
-            def body(_, x):
-                return stencils.jacobi_step_masked(
-                    x[0], x[1], ex, ey, et, invd, smasks
-                )
+            if is_sor:
+                def body(_, x):
+                    return stencils.sor_step_masked(
+                        x[0], x[1], ex, ey, et, invd, cfg.omega, colors,
+                        smasks,
+                    )
+            else:
+                def body(_, x):
+                    return stencils.jacobi_step_masked(
+                        x[0], x[1], ex, ey, et, invd, smasks
+                    )
 
             uu, vv = lax.fori_loop(0, n_sweeps, body, (uu, vv))
-        return unpad(uu, s), unpad(vv, s)
+        return unpad(uu, hw), unpad(vv, hw)
 
     n_full, rem = divmod(cfg.iters, s)
     if n_full > 0:
@@ -185,20 +204,23 @@ def hs_solve_tiled(
     halo_impl: "ppermute" (default — XLA collective between Pallas
     launches) or "rdma" (fused in-kernel remote-DMA exchange overlapped
     with compute; requires TPU hardware, mesh x == 1, single pairs).
+
+    cfg.solver="sor" tiles too (jnp per-shard body; colors keyed by global
+    parity): each exchange block moves a 4*halo_sweeps-px halo because the
+    Gauss-Seidel halo decays one ring per color stage, still O(perimeter)
+    traffic for the usual 8x fewer sweeps. Not combinable with "rdma".
     """
     if mesh is None:
         raise ValueError("hs_solve_tiled requires a Mesh (dist.make_mesh)")
     if halo_sweeps < 1:
         raise ValueError("halo_sweeps must be >= 1")
-    if cfg.solver != "jacobi":
-        # Gauss-Seidel ordering needs a fresh halo per COLOR (4x the
-        # exchanges) to stay exactly equal to the untiled solve; not built.
-        raise ValueError(
-            "hs_solve_tiled supports solver='jacobi' only; SOR is a "
-            "single-device accelerator (see solver.sweeps)"
-        )
     if halo_impl not in ("ppermute", "rdma"):
         raise ValueError("halo_impl must be 'ppermute' or 'rdma'")
+    if cfg.solver == "sor" and halo_impl == "rdma":
+        raise ValueError(
+            "halo_impl='rdma' supports solver='jacobi' only (the fused ring "
+            "kernel exchanges per-sweep halos, not per-color)"
+        )
     if halo_impl == "rdma":
         if mesh.shape["x"] != 1:
             raise ValueError("halo_impl='rdma' needs a row-decomposed mesh (x == 1)")
@@ -220,9 +242,12 @@ def hs_solve_tiled(
         # In-kernel DMA slices must start at sublane-aligned rows: make each
         # tile height a multiple of 8 (the extra rows are masked pad).
         hp = _round_up(h, my * 8)
-    if hp // my <= halo_sweeps or wp // mx <= halo_sweeps:
+    # SOR halos are 4x wider per block (one decay ring per color stage).
+    hwidth = 4 * halo_sweeps if cfg.solver == "sor" else halo_sweeps
+    if hp // my <= hwidth or wp // mx <= hwidth:
         raise ValueError(
-            f"tile {hp // my}x{wp // mx} too small for halo_sweeps={halo_sweeps}"
+            f"tile {hp // my}x{wp // mx} too small for halo_sweeps="
+            f"{halo_sweeps} (solver={cfg.solver}, halo width {hwidth})"
         )
     if (hp, wp) != (h, w):
         pad = [(0, 0)] * (i1.ndim - 2) + [(0, hp - h), (0, wp - w)]

@@ -125,6 +125,36 @@ def jacobi_step_masked(
     return ubar - ex * frac, vbar - ey * frac
 
 
+def sor_step_masked(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    et: jnp.ndarray,
+    inv_den: jnp.ndarray,
+    omega: float,
+    colors,
+    masks,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """sor_step with true-edge masks for tile bodies of the tiled solver.
+
+    `colors` MUST be built from GLOBAL pixel coordinates (a tile's local
+    parity differs from the image's whenever its offset is odd); the tiled
+    solver passes (gr % 2, gc % 2) grids. Unlike Jacobi, a color stage reads
+    pixels updated THIS sweep, so halo contamination grows one ring per
+    STAGE: s sweeps per exchange block need a 4*s-px halo (4 colors/sweep).
+    """
+    for cm in colors:
+        ubar = neighbor_avg_masked(u, masks)
+        vbar = neighbor_avg_masked(v, masks)
+        frac = (ex * ubar + ey * vbar + et) * inv_den
+        un = ubar - ex * frac
+        vn = vbar - ey * frac
+        u = jnp.where(cm, u + omega * (un - u), u)
+        v = jnp.where(cm, v + omega * (vn - v), v)
+    return u, v
+
+
 def derivatives_masked(
     i1: jnp.ndarray, i2: jnp.ndarray, masks, variant: str = "hs_cube"
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

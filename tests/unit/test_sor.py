@@ -127,17 +127,44 @@ def test_config_validation():
         HSConfig(omega=2.5)
 
 
-def test_tiled_solver_rejects_sor():
-    """Gauss-Seidel needs a per-COLOR halo to tile exactly; hs_solve_tiled
-    must refuse rather than silently solve Jacobi."""
+@pytest.mark.parametrize(
+    "my,mx,shape,s",
+    [
+        (2, 4, (64, 96), 1),
+        (4, 2, (64, 96), 2),   # blockwise: 2 sweeps per 8-px halo exchange
+        (2, 2, (57, 83), 1),   # odd shape -> pad-and-mask + odd tile parity
+    ],
+)
+def test_tiled_sor_matches_untiled(my, mx, shape, s):
+    """SOR tiles exactly: per-block 4*s-px halos (one decay ring per color
+    stage) + global-parity colors reproduce the untiled solve at any mesh
+    shape, including tiles with odd global offsets."""
     from opticalflowhs_tpu.config import MeshConfig
     from opticalflowhs_tpu.dist import make_mesh
     from opticalflowhs_tpu.dist.tiled_solver import hs_solve_tiled
 
-    mesh = make_mesh(MeshConfig(batch=1, y=2, x=4))
-    i = jnp.zeros((32, 64), jnp.float32)
-    with pytest.raises(ValueError, match="jacobi"):
-        hs_solve_tiled(i, i, HSConfig(solver="sor"), mesh=mesh)
+    mesh = make_mesh(MeshConfig(batch=1, y=my, x=mx))
+    rng = np.random.default_rng(11)
+    i1 = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
+    cfg = HSConfig(alpha=0.3, iters=11, solver="sor", omega=1.7,
+                   backend="jnp")
+    ft = hs_solve_tiled(i1, i2, cfg, mesh=mesh, halo_sweeps=s)
+    fu = hs_solve(i1, i2, cfg)
+    assert float(jnp.abs(ft.u - fu.u).max()) <= 1e-5
+    assert float(jnp.abs(ft.v - fu.v).max()) <= 1e-5
+
+
+def test_tiled_sor_rejects_rdma():
+    from opticalflowhs_tpu.config import MeshConfig
+    from opticalflowhs_tpu.dist import make_mesh
+    from opticalflowhs_tpu.dist.tiled_solver import hs_solve_tiled
+
+    mesh = make_mesh(MeshConfig(batch=1, y=8, x=1))
+    i = jnp.zeros((64, 64), jnp.float32)
+    with pytest.raises(ValueError, match="rdma"):
+        hs_solve_tiled(i, i, HSConfig(solver="sor"), mesh=mesh,
+                       halo_impl="rdma")
 
 
 def test_batched_sor_matches_loop():
