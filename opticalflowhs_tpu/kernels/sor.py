@@ -9,10 +9,12 @@ Jacobi) but converges in an order of magnitude fewer iterations at small
 alpha — the wall-clock win is measured in tests/unit/test_sor.py and
 docs/PERFORMANCE.md.
 
-VMEM-resident whole-image kernel only (the class every driver config's
-per-frame solve fits after batching/tiling); beyond-VMEM frames take the
-jnp/XLA path — solver.sweeps routes. Exact twin of ops/stencils.sor_step
-(same _navg association order, same u + omega*(u* - u) blend).
+Two strategies, routed by padded-image VMEM footprint exactly like the
+Jacobi kernels: whole-image VMEM residency when it fits, else banded
+temporal blocking whose halo slabs are 4*s rows per s-sweep launch (the
+Gauss-Seidel halo decays one ring per COLOR STAGE, not per sweep). Exact
+twin of ops/stencils.sor_step (same _navg association order, same
+u + omega*(u* - u) blend).
 """
 
 from __future__ import annotations
@@ -25,10 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from opticalflowhs_tpu.kernels.jacobi import (
+    _AUTO_BLOCK_SWEEPS,
     _LANE,
     _VMEM_BUDGET,
     _edge_masks,
     _navg,
+    _pick_band,
     _round_up,
     _sublane,
     pad_to_tiles,
@@ -36,6 +40,7 @@ from opticalflowhs_tpu.kernels.jacobi import (
 
 # SOR holds the Jacobi working set + 4 color masks + blend temporaries.
 _SOR_ARRAYS = 21
+_SOR_BAND_ARRAYS = 24
 
 
 def _sor_step(u, v, ex, ey, et, invd, masks, colors, omega):
@@ -74,6 +79,135 @@ def _sor_vmem_kernel(ex_ref, ey_ref, et_ref, invd_ref, u0_ref, v0_ref,
         return c
 
     jax.lax.fori_loop(0, n_sweeps, body, 0)
+
+
+def _color_grids(gr, gc):
+    """Four 2x2-parity masks from GLOBAL row/col index grids (twin of
+    ops.stencils.color_masks, kernel side)."""
+    return tuple(
+        (gr % 2 == pi) & (gc % 2 == pj) for pi in (0, 1) for pj in (0, 1)
+    )
+
+
+# -- banded temporal blocking (HD+ frames beyond whole-image VMEM) ------------
+#
+# Same row-band schedule as kernels/jacobi._sweeps_banded, with one
+# SOR-specific constant: the halo decays one ring per COLOR STAGE (a stage
+# reads pixels its predecessors updated this sweep), so s sweeps per launch
+# need a 4*s-row halo slab where Jacobi needs s. Everything else — slab
+# assembly, true-edge masks from global coordinates, out-ref loop state —
+# is the proven Jacobi scheme.
+
+
+def _pick_band_sor(h: int, wp: int, dtype_bytes: int, sub: int, s: int) -> int:
+    halo = _round_up(4 * max(1, s), sub)
+    unit = wp * dtype_bytes * _SOR_BAND_ARRAYS
+    band_max = max(2 * sub, _VMEM_BUDGET // unit - 2 * halo)
+    h_units = -(-h // sub)
+    bu_max = max(2, band_max // sub)
+    nb = -(-h_units // bu_max)
+    units = -(-h_units // nb)
+    return units * sub
+
+
+def _sor_banded_kernel(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
+                       ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
+                       et_ref, ett_ref, etb_ref, invd_ref, invdt_ref,
+                       invdb_ref, uo_ref, vo_ref, *, s: int, halo: int,
+                       band: int, h: int, w: int, omega: float,
+                       aligned_lr: tuple):
+    i = pl.program_id(0)
+
+    def asm(band_ref, top_ref, bot_ref):
+        return jnp.concatenate([top_ref[0], band_ref[...], bot_ref[0]], axis=0)
+
+    u = asm(u_ref, ut_ref, ub_ref)
+    v = asm(v_ref, vt_ref, vb_ref)
+    ex = asm(ex_ref, ext_ref, exb_ref)
+    ey = asm(ey_ref, eyt_ref, eyb_ref)
+    et = asm(et_ref, ett_ref, etb_ref)
+    invd = asm(invd_ref, invdt_ref, invdb_ref)
+
+    th, wp = u.shape  # (band + 2*halo, Wp); halo >= 4*s (sublane-rounded)
+    gr = i * band - halo + jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
+    masks = _edge_masks(gr, gc, h, w, (False, False) + aligned_lr)
+    colors = _color_grids(gr, gc)
+    for _k in range(s):
+        u, v = _sor_step(u, v, ex, ey, et, invd, masks, colors, omega)
+    uo_ref[...] = u[halo : halo + band]
+    vo_ref[...] = v[halo : halo + band]
+
+
+def _sor_banded_block(u, v, ex, ey, et, invd, inv_slabs, s, halo, band,
+                      h, w, omega, interpret, aligned_lr):
+    hp, wp = u.shape
+    nb = hp // band
+
+    def slabs(x):
+        b = x.reshape(nb, band, wp)
+        top = jnp.concatenate(
+            [b[:1, band - halo:], b[:-1, band - halo:]], axis=0
+        )
+        bot = jnp.concatenate([b[1:, :halo], b[-1:, :halo]], axis=0)
+        return top, bot
+
+    ut, ub = slabs(u)
+    vt, vb = slabs(v)
+    (ext, exb), (eyt, eyb), (ett, etb), (invdt, invdb) = inv_slabs
+
+    band_spec = pl.BlockSpec((band, wp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    slab_spec = pl.BlockSpec((1, halo, wp), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
+    return pl.pallas_call(
+        functools.partial(_sor_banded_kernel, s=s, halo=halo, band=band,
+                          h=h, w=w, omega=omega, aligned_lr=aligned_lr),
+        grid=(nb,),
+        out_shape=(out, out),
+        in_specs=[band_spec, slab_spec, slab_spec] * 6,
+        out_specs=(band_spec, band_spec),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(u, ut, ub, v, vt, vb, ex, ext, exb, ey, eyt, eyb,
+      et, ett, etb, invd, invdt, invdb)
+
+
+def _sor_sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w,
+                       omega, interpret):
+    hp, wp = u.shape
+    nb = hp // band
+    halo = _round_up(4 * s, _sublane(u.dtype))
+    aligned_lr = (True, w == wp)
+
+    def inv_slab(x):
+        b = x.reshape(nb, band, wp)
+        return (
+            jnp.concatenate(
+                [b[:1, band - halo:], b[:-1, band - halo:]], axis=0
+            ),
+            jnp.concatenate([b[1:, :halo], b[-1:, :halo]], axis=0),
+        )
+
+    inv_slabs = tuple(inv_slab(a) for a in (ex, ey, et, invd))
+
+    def block(uv, k):
+        return _sor_banded_block(
+            uv[0], uv[1], ex, ey, et, invd, inv_slabs, k, halo, band, h, w,
+            omega, interpret, aligned_lr,
+        )
+
+    n_blocks, rem = divmod(n_sweeps, s)
+    uv = (u, v)
+    if n_blocks:
+        uv = jax.lax.fori_loop(0, n_blocks, lambda _, x: block(x, s), uv)
+    if rem:
+        uv = block(uv, rem)
+    return uv
 
 
 def _jnp_sor_sweeps(u, v, ex, ey, et, invd, n_sweeps, omega):
@@ -148,22 +282,47 @@ def sor_sweeps(
 
 def _sor_sweeps_impl(u, v, ex, ey, et, inv_den, n_sweeps, omega, interpret):
     h, w = u.shape
-    sub = _sublane(u.dtype)
-    hp = _round_up(h, sub)
-    wp = _round_up(w, _LANE)
-    args = [pad_to_tiles(a, hp, wp) for a in (ex, ey, et, inv_den, u, v)]
-    out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
-    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    uo, vo = pl.pallas_call(
-        functools.partial(
-            _sor_vmem_kernel, n_sweeps=n_sweeps, h=h, w=w, omega=float(omega)
-        ),
-        out_shape=(out, out),
-        in_specs=[spec] * 6,
-        out_specs=(spec, spec),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(*args)
+    if fits_vmem(h, w, u.dtype):
+        sub = _sublane(u.dtype)
+        hp = _round_up(h, sub)
+        wp = _round_up(w, _LANE)
+        args = [pad_to_tiles(a, hp, wp) for a in (ex, ey, et, inv_den, u, v)]
+        out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
+        spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        uo, vo = pl.pallas_call(
+            functools.partial(
+                _sor_vmem_kernel, n_sweeps=n_sweeps, h=h, w=w,
+                omega=float(omega),
+            ),
+            out_shape=(out, out),
+            in_specs=[spec] * 6,
+            out_specs=(spec, spec),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(*args)
+    else:
+        uo, vo = _sor_sweeps_beyond_vmem(
+            u, v, ex, ey, et, inv_den, n_sweeps, omega, interpret
+        )
     return uo[:h, :w], vo[:h, :w]
+
+
+def _sor_sweeps_beyond_vmem(u, v, ex, ey, et, inv_den, n_sweeps, omega,
+                            interpret):
+    """HD+ frames: banded temporal blocking with 4*s-row halo slabs."""
+    h, w = u.shape
+    sub = _sublane(u.dtype)
+    wp = _round_up(w, _LANE)
+    nbytes = jnp.dtype(u.dtype).itemsize
+    # Fewer sweeps per launch than Jacobi's 16: the halo slab (and its
+    # redundant compute) is 4x wider per sweep.
+    s = max(1, min(n_sweeps, _AUTO_BLOCK_SWEEPS // 4))
+    band = _pick_band_sor(h, wp, nbytes, sub, s)
+    s = max(1, min(s, band // 8))  # keep halo = 4*s within half the band
+    hp = _round_up(h, band)
+    args = [pad_to_tiles(a, hp, wp) for a in (u, v, ex, ey, et, inv_den)]
+    return _sor_sweeps_banded(
+        *args, n_sweeps, s, band, h, w, float(omega), interpret
+    )

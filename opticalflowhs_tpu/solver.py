@@ -81,7 +81,9 @@ def sweeps(
     if cfg.solver == "sor":
         from opticalflowhs_tpu.kernels import sor as sor_kernels
 
-        if backend == "pallas" and sor_kernels.fits_vmem(*u.shape[-2:], u.dtype):
+        if backend == "pallas":
+            # Routes whole-image VMEM residency or banded temporal blocking
+            # internally (kernels/sor.py).
             u, v = sor_kernels.sor_sweeps(
                 u, v, ex, ey, et, inv_den, n, cfg.omega
             )

@@ -81,6 +81,30 @@ def test_kernel_matches_oracle(shape):
     assert float(jnp.abs(vo - v).max()) <= TOL
 
 
+@pytest.mark.parametrize("shape,band,s", [((48, 96), 16, 2), ((50, 70), 8, 1)])
+def test_banded_kernel_matches_oracle(shape, band, s):
+    """The HD+ banded path (4*s-row halo slabs) == jnp oracle, including an
+    image height that needs band padding."""
+    ex, ey, et, invd = _fields(*shape, seed=4)
+    u0 = jnp.zeros_like(ex)
+    v0 = jnp.zeros_like(ex)
+    h, w = shape
+    from opticalflowhs_tpu.kernels.jacobi import _LANE, _round_up, pad_to_tiles
+    hp = _round_up(h, band)
+    wp = _round_up(w, _LANE)
+    args = [pad_to_tiles(a, hp, wp) for a in (u0, v0, ex, ey, et, invd)]
+    n = 2 * s + 1  # exercises the remainder launch too
+    uo, vo = sor_kernels._sor_sweeps_banded(
+        *args, n, s, band, h, w, 1.8, True
+    )
+    colors = stencils.color_masks(h, w)
+    u, v = u0, v0
+    for _ in range(n):
+        u, v = stencils.sor_step(u, v, ex, ey, et, invd, 1.8, colors)
+    assert float(jnp.abs(uo[:h, :w] - u).max()) <= TOL
+    assert float(jnp.abs(vo[:h, :w] - v).max()) <= TOL
+
+
 def test_sor_converges_faster_than_jacobi():
     """The reason the solver exists: measured curves (alpha=0.1, 1 px
     translation, 96x128) put the converged EPE at ~9.09e-5; Jacobi takes
