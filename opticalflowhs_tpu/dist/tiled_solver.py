@@ -113,9 +113,10 @@ def _tile_body(
 
     u = jnp.zeros_like(i1t)
     v = jnp.zeros_like(i1t)
-    use_pallas = resolve_backend(cfg.backend) == "pallas" and not is_sor
+    use_pallas = resolve_backend(cfg.backend) == "pallas"
     if use_pallas:
         from opticalflowhs_tpu.kernels.jacobi import tile_sweeps
+        from opticalflowhs_tpu.kernels.sor import sor_tile_sweeps
     else:
         pshape = (th + 2 * hw, tw + 2 * hw)
         smasks = _tile_masks(row0 - hw, col0 - hw, pshape, h, w)
@@ -133,11 +134,19 @@ def _tile_body(
         uu = halo_pad(uv[0], hw)
         vv = halo_pad(uv[1], hw)
         if use_pallas:
-            # Per-chip fused Pallas sweeps; clamp at true global edges via
-            # the tile's traced global offset (SURVEY.md §3.5 hot loop).
-            uu, vv = tile_sweeps(
-                uu, vv, ex, ey, et, invd, n_sweeps, row0 - hw, col0 - hw, h, w
-            )
+            # Per-chip fused Pallas sweeps; clamp (and for SOR: color
+            # parity) at true global edges via the tile's traced global
+            # offset (SURVEY.md §3.5 hot loop).
+            if is_sor:
+                uu, vv = sor_tile_sweeps(
+                    uu, vv, ex, ey, et, invd, n_sweeps, cfg.omega,
+                    row0 - hw, col0 - hw, h, w,
+                )
+            else:
+                uu, vv = tile_sweeps(
+                    uu, vv, ex, ey, et, invd, n_sweeps,
+                    row0 - hw, col0 - hw, h, w,
+                )
         else:
             if is_sor:
                 def body(_, x):
@@ -205,10 +214,11 @@ def hs_solve_tiled(
     launches) or "rdma" (fused in-kernel remote-DMA exchange overlapped
     with compute; requires TPU hardware, mesh x == 1, single pairs).
 
-    cfg.solver="sor" tiles too (jnp per-shard body; colors keyed by global
-    parity): each exchange block moves a 4*halo_sweeps-px halo because the
-    Gauss-Seidel halo decays one ring per color stage, still O(perimeter)
-    traffic for the usual 8x fewer sweeps. Not combinable with "rdma".
+    cfg.solver="sor" tiles too (per-shard Pallas or jnp body; colors keyed
+    by global parity): each exchange block moves a 4*halo_sweeps-px halo
+    because the Gauss-Seidel halo decays one ring per color stage, still
+    O(perimeter) traffic for the usual 8x fewer sweeps. Not combinable
+    with "rdma".
     """
     if mesh is None:
         raise ValueError("hs_solve_tiled requires a Mesh (dist.make_mesh)")

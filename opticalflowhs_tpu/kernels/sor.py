@@ -56,18 +56,18 @@ def _sor_step(u, v, ex, ey, et, invd, masks, colors, omega):
     return u, v
 
 
-def _sor_vmem_kernel(ex_ref, ey_ref, et_ref, invd_ref, u0_ref, v0_ref,
-                     uo_ref, vo_ref, *, n_sweeps: int, h: int, w: int,
-                     omega: float):
+def _sor_vmem_kernel(r0_ref, c0_ref, ex_ref, ey_ref, et_ref, invd_ref,
+                     u0_ref, v0_ref, uo_ref, vo_ref, *, n_sweeps: int,
+                     h: int, w: int, omega: float, aligned: tuple):
     ex, ey, et, invd = ex_ref[...], ey_ref[...], et_ref[...], invd_ref[...]
     hp, wp = ex.shape
-    gr = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-    gc = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-    aligned = (True, h == hp, True, w == wp)
+    # (r0, c0): global coordinates of array element (0, 0) — zero for whole
+    # images, the halo-padded tile origin for the distributed path. Both
+    # the clamp masks AND the color parity key off global coordinates.
+    gr = r0_ref[0] + jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    gc = c0_ref[0] + jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
     masks = _edge_masks(gr, gc, h, w, aligned)
-    colors = tuple(
-        (gr % 2 == pi) & (gc % 2 == pj) for pi in (0, 1) for pj in (0, 1)
-    )
+    colors = _color_grids(gr, gc)
     uo_ref[...] = u0_ref[...]
     vo_ref[...] = v0_ref[...]
 
@@ -110,11 +110,11 @@ def _pick_band_sor(h: int, wp: int, dtype_bytes: int, sub: int, s: int) -> int:
     return units * sub
 
 
-def _sor_banded_kernel(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
-                       ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
-                       et_ref, ett_ref, etb_ref, invd_ref, invdt_ref,
-                       invdb_ref, uo_ref, vo_ref, *, s: int, halo: int,
-                       band: int, h: int, w: int, omega: float,
+def _sor_banded_kernel(r0_ref, c0_ref, u_ref, ut_ref, ub_ref, v_ref, vt_ref,
+                       vb_ref, ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref,
+                       eyb_ref, et_ref, ett_ref, etb_ref, invd_ref,
+                       invdt_ref, invdb_ref, uo_ref, vo_ref, *, s: int,
+                       halo: int, band: int, h: int, w: int, omega: float,
                        aligned_lr: tuple):
     i = pl.program_id(0)
 
@@ -129,8 +129,9 @@ def _sor_banded_kernel(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
     invd = asm(invd_ref, invdt_ref, invdb_ref)
 
     th, wp = u.shape  # (band + 2*halo, Wp); halo >= 4*s (sublane-rounded)
-    gr = i * band - halo + jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0)
-    gc = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
+    gr = (r0_ref[0] + i * band - halo
+          + jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0))
+    gc = c0_ref[0] + jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1)
     masks = _edge_masks(gr, gc, h, w, (False, False) + aligned_lr)
     colors = _color_grids(gr, gc)
     for _k in range(s):
@@ -140,7 +141,7 @@ def _sor_banded_kernel(u_ref, ut_ref, ub_ref, v_ref, vt_ref, vb_ref,
 
 
 def _sor_banded_block(u, v, ex, ey, et, invd, inv_slabs, s, halo, band,
-                      h, w, omega, interpret, aligned_lr):
+                      h, w, omega, interpret, row0, col0, aligned_lr):
     hp, wp = u.shape
     nb = hp // band
 
@@ -160,29 +161,33 @@ def _sor_banded_block(u, v, ex, ey, et, invd, inv_slabs, s, halo, band,
                              memory_space=pltpu.VMEM)
     slab_spec = pl.BlockSpec((1, halo, wp), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
     return pl.pallas_call(
         functools.partial(_sor_banded_kernel, s=s, halo=halo, band=band,
                           h=h, w=w, omega=omega, aligned_lr=aligned_lr),
         grid=(nb,),
         out_shape=(out, out),
-        in_specs=[band_spec, slab_spec, slab_spec] * 6,
+        in_specs=[sspec, sspec] + [band_spec, slab_spec, slab_spec] * 6,
         out_specs=(band_spec, band_spec),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(u, ut, ub, v, vt, vb, ex, ext, exb, ey, eyt, eyb,
+    )(jnp.asarray(row0, jnp.int32).reshape(1),
+      jnp.asarray(col0, jnp.int32).reshape(1),
+      u, ut, ub, v, vt, vb, ex, ext, exb, ey, eyt, eyb,
       et, ett, etb, invd, invdt, invdb)
 
 
 def _sor_sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w,
-                       omega, interpret):
+                       omega, interpret, row0=0, col0=0, aligned_lr=None):
     hp, wp = u.shape
     nb = hp // band
     halo = _round_up(4 * s, _sublane(u.dtype))
-    aligned_lr = (True, w == wp)
+    if aligned_lr is None:
+        aligned_lr = (True, w == wp)
 
     def inv_slab(x):
         b = x.reshape(nb, band, wp)
@@ -198,7 +203,7 @@ def _sor_sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w,
     def block(uv, k):
         return _sor_banded_block(
             uv[0], uv[1], ex, ey, et, invd, inv_slabs, k, halo, band, h, w,
-            omega, interpret, aligned_lr,
+            omega, interpret, row0, col0, aligned_lr,
         )
 
     n_blocks, rem = divmod(n_sweeps, s)
@@ -286,27 +291,86 @@ def _sor_sweeps_impl(u, v, ex, ey, et, inv_den, n_sweeps, omega, interpret):
         sub = _sublane(u.dtype)
         hp = _round_up(h, sub)
         wp = _round_up(w, _LANE)
-        args = [pad_to_tiles(a, hp, wp) for a in (ex, ey, et, inv_den, u, v)]
-        out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
-        spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-        uo, vo = pl.pallas_call(
-            functools.partial(
-                _sor_vmem_kernel, n_sweeps=n_sweeps, h=h, w=w,
-                omega=float(omega),
-            ),
-            out_shape=(out, out),
-            in_specs=[spec] * 6,
-            out_specs=(spec, spec),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024
-            ),
-            interpret=interpret,
-        )(*args)
+        aligned = (True, h == hp, True, w == wp)
+        uo, vo = _sor_vmem_call(
+            u, v, ex, ey, et, inv_den, n_sweeps, omega, interpret,
+            hp, wp, 0, 0, h, w, aligned,
+        )
     else:
         uo, vo = _sor_sweeps_beyond_vmem(
             u, v, ex, ey, et, inv_den, n_sweeps, omega, interpret
         )
     return uo[:h, :w], vo[:h, :w]
+
+
+def _sor_vmem_call(u, v, ex, ey, et, inv_den, n_sweeps, omega, interpret,
+                   hp, wp, row0, col0, h, w, aligned):
+    args = [pad_to_tiles(a, hp, wp) for a in (ex, ey, et, inv_den, u, v)]
+    out = jax.ShapeDtypeStruct((hp, wp), u.dtype)
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _sor_vmem_kernel, n_sweeps=n_sweeps, h=h, w=w,
+            omega=float(omega), aligned=aligned,
+        ),
+        out_shape=(out, out),
+        in_specs=[sspec, sspec] + [spec] * 6,
+        out_specs=(spec, spec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 8 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(jnp.asarray(row0, jnp.int32).reshape(1),
+      jnp.asarray(col0, jnp.int32).reshape(1), *args)
+
+
+def sor_tile_sweeps(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    et: jnp.ndarray,
+    inv_den: jnp.ndarray,
+    n_sweeps: int,
+    omega: float,
+    row0,
+    col0,
+    h: int,
+    w: int,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """SOR twin of kernels.jacobi.tile_sweeps: n sweeps on one chip's
+    halo-padded tile, clamp masks AND color parity keyed to the traced
+    global origin (row0, col0). The caller guarantees halo width >=
+    4*n_sweeps (one decay ring per color stage). Whole-tile VMEM residency
+    when it fits, else the banded kernel with the same global origin."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if n_sweeps == 0:
+        return u, v
+    omega = float(omega)
+    th, tw = u.shape
+    sub = _sublane(u.dtype)
+    wp = _round_up(tw, _LANE)
+    nbytes = jnp.dtype(u.dtype).itemsize
+    hp = _round_up(th, sub)
+    if hp * wp * nbytes * _SOR_ARRAYS > _VMEM_BUDGET:
+        s = max(1, min(n_sweeps, _AUTO_BLOCK_SWEEPS // 4))
+        band = _pick_band_sor(th, wp, nbytes, sub, s)
+        s = max(1, min(s, band // 8))
+        hp = _round_up(th, band)
+        args = [pad_to_tiles(a, hp, wp) for a in (u, v, ex, ey, et, inv_den)]
+        uo, vo = _sor_sweeps_banded(
+            *args, n_sweeps, s, band, h, w, omega, interpret,
+            row0=row0, col0=col0, aligned_lr=(False, False),
+        )
+        return uo[:th, :tw], vo[:th, :tw]
+    uo, vo = _sor_vmem_call(
+        u, v, ex, ey, et, inv_den, n_sweeps, omega, interpret,
+        hp, wp, row0, col0, h, w, (False, False, False, False),
+    )
+    return uo[:th, :tw], vo[:th, :tw]
 
 
 def _sor_sweeps_beyond_vmem(u, v, ex, ey, et, inv_den, n_sweeps, omega,

@@ -152,14 +152,16 @@ def test_config_validation():
 
 
 @pytest.mark.parametrize(
-    "my,mx,shape,s",
+    "my,mx,shape,s,backend",
     [
-        (2, 4, (64, 96), 1),
-        (4, 2, (64, 96), 2),   # blockwise: 2 sweeps per 8-px halo exchange
-        (2, 2, (57, 83), 1),   # odd shape -> pad-and-mask + odd tile parity
+        (2, 4, (64, 96), 1, "jnp"),
+        (4, 2, (64, 96), 2, "jnp"),  # blockwise: 2 sweeps/8-px halo exchange
+        (2, 2, (57, 83), 1, "jnp"),  # odd shape -> pad-and-mask, odd parity
+        (2, 4, (64, 96), 1, "pallas"),   # per-shard Pallas SOR tile kernel
+        (2, 2, (57, 83), 2, "pallas"),
     ],
 )
-def test_tiled_sor_matches_untiled(my, mx, shape, s):
+def test_tiled_sor_matches_untiled(my, mx, shape, s, backend):
     """SOR tiles exactly: per-block 4*s-px halos (one decay ring per color
     stage) + global-parity colors reproduce the untiled solve at any mesh
     shape, including tiles with odd global offsets."""
@@ -172,9 +174,10 @@ def test_tiled_sor_matches_untiled(my, mx, shape, s):
     i1 = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
     i2 = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
     cfg = HSConfig(alpha=0.3, iters=11, solver="sor", omega=1.7,
-                   backend="jnp")
+                   backend=backend)
     ft = hs_solve_tiled(i1, i2, cfg, mesh=mesh, halo_sweeps=s)
-    fu = hs_solve(i1, i2, cfg)
+    fu = hs_solve(i1, i2, HSConfig(alpha=0.3, iters=11, solver="sor",
+                                   omega=1.7, backend="jnp"))
     assert float(jnp.abs(ft.u - fu.u).max()) <= 1e-5
     assert float(jnp.abs(ft.v - fu.v).max()) <= 1e-5
 
