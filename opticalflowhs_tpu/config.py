@@ -31,7 +31,10 @@ BACKENDS = ("auto", "jnp", "pallas")
 #    colors, omega over-relaxation) — a strict extension for time-to-EPE:
 #    ~4x the per-sweep cost, an order of magnitude fewer sweeps at small
 #    alpha (ops/stencils.sor_step, kernels/sor.py, tests/unit/test_sor.py).
-SOLVERS = ("jacobi", "sor")
+#  - "multigrid": V-cycles with 4-color GS smoothing (multigrid.py); iters
+#    counts V-CYCLES (typical 1-5) — measured ~100x fewer sweep-equivalents
+#    than Jacobi to converged EPE at alpha=1 (tests/unit/test_multigrid.py).
+SOLVERS = ("jacobi", "sor", "multigrid")
 
 
 @dataclass(frozen=True)

@@ -226,6 +226,14 @@ def hs_solve_tiled(
         raise ValueError("halo_sweeps must be >= 1")
     if halo_impl not in ("ppermute", "rdma"):
         raise ValueError("halo_impl must be 'ppermute' or 'rdma'")
+    if cfg.solver == "multigrid":
+        # Coarse grids would need mesh-level restriction/prolongation (and
+        # sub-tile grids collapse below the shard size); not built — use
+        # solver='sor' for tiled acceleration, or hs_pyramid_tiled.
+        raise ValueError(
+            "hs_solve_tiled supports solver='jacobi' or 'sor'; multigrid "
+            "is single-device (see solver.hs_solve)"
+        )
     if cfg.solver == "sor" and halo_impl == "rdma":
         raise ValueError(
             "halo_impl='rdma' supports solver='jacobi' only (the fused ring "

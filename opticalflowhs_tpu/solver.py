@@ -78,6 +78,14 @@ def sweeps(
     backend = resolve_backend(cfg.backend)
     if n == 0:
         return Flow(u, v)
+    if cfg.solver == "multigrid":
+        # V-cycles (n = cycle count). jnp/XLA on every backend: the cycle
+        # is dominated by O(levels) small grids where a Pallas launch per
+        # smoothing stage would be dispatch-bound (docs/PERFORMANCE.md).
+        from opticalflowhs_tpu.multigrid import mg_sweeps
+
+        u, v = mg_sweeps(u, v, ex, ey, et, inv_den, n, cfg)
+        return Flow(u, v)
     if cfg.solver == "sor":
         from opticalflowhs_tpu.kernels import sor as sor_kernels
 
