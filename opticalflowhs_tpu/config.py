@@ -51,6 +51,12 @@ class HSConfig:
     checkpoint_every: int = 0   # 0 = never; else chunk fori_loop every K sweeps
     solver: str = "jacobi"      # relaxation scheme (SOLVERS)
     omega: float = 1.9          # SOR over-relaxation factor, (0, 2)
+    tol: float = 0.0            # > 0: solve-to-tolerance — stop when the max
+                                # u/v update over a check block (block_sweeps
+                                # sweeps, or 1 V-cycle) drops below tol px;
+                                # iters becomes the budget CAP. 0 = classic
+                                # fixed iteration count. Not differentiable
+                                # (lax.while_loop); use fixed iters for grads.
 
     def __post_init__(self):
         if self.deriv_variant not in DERIV_VARIANTS:
@@ -61,6 +67,14 @@ class HSConfig:
             raise ValueError(f"solver must be one of {SOLVERS}")
         if not 0.0 < self.omega < 2.0:
             raise ValueError("omega must be in (0, 2)")
+        if self.tol < 0:
+            raise ValueError("tol must be >= 0")
+        if self.tol > 0 and self.checkpoint_every > 0:
+            raise ValueError(
+                "tol-based early stopping and checkpoint_every chunking "
+                "are mutually exclusive (the chunked loop needs a fixed "
+                "sweep schedule)"
+            )
         if self.iters < 0:
             raise ValueError("iters must be >= 0")
         if self.block_sweeps < 0:

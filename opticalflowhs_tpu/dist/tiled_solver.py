@@ -163,6 +163,40 @@ def _tile_body(
             uu, vv = lax.fori_loop(0, n_sweeps, body, (uu, vv))
         return unpad(uu, hw), unpad(vv, hw)
 
+    if cfg.tol > 0:
+        # Distributed solve-to-tolerance: after each s-sweep halo block,
+        # every shard takes the max |update| over its OWNED true pixels
+        # (pad garbage masked out) and a pmax over the mesh makes the stop
+        # decision globally uniform — one lax.while_loop, no host sync.
+        # Budget cap = cfg.iters rounded DOWN to whole blocks, mirroring
+        # solver.sweeps_until. The check block shrinks to the budget when
+        # iters < s (the halo width stays sized for s — wider than a short
+        # block needs, which is harmless, same as the fixed path's
+        # remainder block).
+        b = max(1, min(s, cfg.iters))
+        vmask = (
+            (row0 + lax.broadcasted_iota(jnp.int32, (th, tw), 0) < h)
+            & (col0 + lax.broadcasted_iota(jnp.int32, (th, tw), 1) < w)
+        )
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+        def cond(st):
+            _, _, k, delta = st
+            return jnp.logical_and(k + b <= cfg.iters, delta > cfg.tol)
+
+        def step(st):
+            uu, vv, k, _ = st
+            nu, nv = block((uu, vv), b)
+            d = jnp.maximum(
+                jnp.where(vmask, jnp.abs(nu - uu), 0).max(),
+                jnp.where(vmask, jnp.abs(nv - vv), 0).max(),
+            )
+            d = lax.pmax(lax.pmax(d, "y"), "x")
+            return (nu, nv, k + b, d)
+
+        u, v, _, _ = lax.while_loop(cond, step, (u, v, jnp.int32(0), big))
+        return Flow(u, v)
+
     n_full, rem = divmod(cfg.iters, s)
     if n_full > 0:
         u, v = lax.fori_loop(
@@ -219,6 +253,15 @@ def hs_solve_tiled(
     because the Gauss-Seidel halo decays one ring per color stage, still
     O(perimeter) traffic for the usual 8x fewer sweeps. Not combinable
     with "rdma".
+
+    cfg.tol > 0 enables distributed solve-to-tolerance: each halo block's
+    max |update| over owned true pixels is pmax-reduced over the mesh, so
+    every shard stops at the same block — entirely on-device (no host
+    sync), budget = cfg.iters rounded down to whole blocks, identical
+    stopping point to solver.sweeps_until when block cadences match. For
+    (B, H, W) stacks the stop is global over the batch (vmapped
+    while_loop runs until the slowest element converges). ppermute halo
+    only.
     """
     if mesh is None:
         raise ValueError("hs_solve_tiled requires a Mesh (dist.make_mesh)")
@@ -238,6 +281,11 @@ def hs_solve_tiled(
         raise ValueError(
             "halo_impl='rdma' supports solver='jacobi' only (the fused ring "
             "kernel exchanges per-sweep halos, not per-color)"
+        )
+    if cfg.tol > 0 and halo_impl == "rdma":
+        raise ValueError(
+            "cfg.tol early stopping needs the ppermute halo path (the "
+            "fused rdma kernel bakes a fixed sweep schedule)"
         )
     if halo_impl == "rdma":
         if mesh.shape["x"] != 1:

@@ -34,7 +34,7 @@ from opticalflowhs_tpu.ops.stencils import (
     shift_right_col,
     shift_up_row,
 )
-from opticalflowhs_tpu.solver import Flow, precompute, sweeps
+from opticalflowhs_tpu.solver import Flow, precompute, sweeps, sweeps_until
 
 # -- 5-tap binomial blur, separable, replicate boundaries --------------------
 
@@ -262,7 +262,14 @@ def _pyramid_body(
             u = jnp.zeros_like(f1)
             v = jnp.zeros_like(f1)
         ex, ey, et, inv_den = precompute(f1, f2w, cfg)
-        dflow = sweeps(u, v, ex, ey, et, inv_den, iters[level], cfg)
+        if cfg.tol > 0:
+            # Per-level early stopping: coarse levels converge in a handful
+            # of sweeps, so a tol solve spends the budget where it matters.
+            dflow = sweeps_until(
+                u, v, ex, ey, et, inv_den, cfg, budget=iters[level]
+            )
+        else:
+            dflow = sweeps(u, v, ex, ey, et, inv_den, iters[level], cfg)
         if flow is None:
             flow = dflow
         else:

@@ -120,6 +120,49 @@ def sweeps(
     return Flow(u, v)
 
 
+def sweeps_until(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    ex: jnp.ndarray,
+    ey: jnp.ndarray,
+    et: jnp.ndarray,
+    inv_den: jnp.ndarray,
+    cfg: HSConfig,
+    budget: Optional[int] = None,
+) -> Flow:
+    """Solve-to-tolerance (cfg.tol > 0): lax.while_loop over check blocks
+    of `block_sweeps` sweeps (1 V-cycle for multigrid), stopping when the
+    max u/v update over a block drops below tol or the iteration budget
+    (`budget`, default cfg.iters — pyramids pass per-level budgets) is
+    exhausted (rounded DOWN to whole blocks — the while_loop trip size is
+    trace-static) — entirely on-device, one jit region. The reference's
+    loop (SURVEY.md §3.1) can only run a fixed count."""
+    iters = cfg.iters if budget is None else budget
+    if cfg.solver == "multigrid":
+        b = 1
+    elif cfg.block_sweeps > 0:
+        b = cfg.block_sweeps
+    else:
+        b = 16
+    b = min(b, max(iters, 1))
+    big = jnp.asarray(jnp.finfo(u.dtype).max, u.dtype)
+
+    def cond(st):
+        _, _, k, delta = st
+        return jnp.logical_and(k + b <= iters, delta > cfg.tol)
+
+    def body(st):
+        uu, vv, k, _ = st
+        f = sweeps(uu, vv, ex, ey, et, inv_den, b, cfg)
+        delta = jnp.maximum(
+            jnp.abs(f.u - uu).max(), jnp.abs(f.v - vv).max()
+        )
+        return (f.u, f.v, k + b, delta)
+
+    u, v, _, _ = lax.while_loop(cond, body, (u, v, jnp.int32(0), big))
+    return Flow(u, v)
+
+
 @partial(jax.jit, static_argnames=("cfg", "with_init"))
 def _hs_solve_impl(
     i1: jnp.ndarray,
@@ -133,6 +176,7 @@ def _hs_solve_impl(
 
     if (
         cfg.solver == "jacobi"
+        and cfg.tol == 0  # the fused pipeline bakes a fixed sweep schedule
         and resolve_backend(cfg.backend) == "pallas"
         and os.environ.get("HSFLOW_FUSED_SOLVE", "0") == "1"  # default off
         # until hardware-validated (tools/hw_solve_fused_ab.py; the axon
@@ -164,6 +208,8 @@ def _hs_solve_impl(
     else:
         u = jnp.zeros_like(ex)
         v = jnp.zeros_like(ex)
+    if cfg.tol > 0:
+        return sweeps_until(u, v, ex, ey, et, inv_den, cfg)
     return sweeps(u, v, ex, ey, et, inv_den, cfg.iters, cfg)
 
 

@@ -81,6 +81,40 @@ def time_to_epe(h=1088, w=1920, n=5):
         run("sor", 50, om)
         run("sor", 100, om)
     run("sor", 200, 1.95)
+    # multigrid (jnp/XLA path; iters = V-cycles) — the stiff-regime lever,
+    # timed here at alpha=0.1 for same-problem comparability.
+    for cyc in (2, 3, 5):
+        try:
+            run("multigrid", cyc)
+        except Exception as e:
+            print(f"tte multigrid c{cyc}: FAIL {str(e)[:200]}", flush=True)
+
+
+def time_to_epe_alpha1(h=1088, w=1920, n=5):
+    """The regime multigrid exists for: alpha=1, where Jacobi/SOR crawl."""
+    i1, i2, gt = translation_pair(h, w, 1.0, 0.0, key=4)
+    i1, i2 = jnp.asarray(i1), jnp.asarray(i2)
+    gtc = interior(gt, 8)
+
+    def run(solver, iters, omega=1.5, backend="pallas"):
+        cfg = HSConfig(alpha=1.0, iters=iters, solver=solver, omega=omega,
+                       backend=backend)
+        fn = lambda: hs_solve(i1, i2, cfg)
+        dt = timeit(fn, n)
+        f = fn()
+        fl = np.stack([np.asarray(f.u), np.asarray(f.v)], -1)
+        e = epe(interior(fl, 8), gtc)
+        print(f"tteA1 {solver:9s} i{iters:4d}: {dt*1e3:8.2f} ms  "
+              f"EPE {e:.6g}", flush=True)
+
+    run("jacobi", 1600)
+    run("jacobi", 100)
+    run("sor", 400)
+    for cyc in (2, 3, 5):
+        try:
+            run("multigrid", cyc, backend="jnp")
+        except Exception as e:
+            print(f"tteA1 multigrid c{cyc}: FAIL {str(e)[:200]}", flush=True)
 
 
 exactness(512, 640)          # VMEM-class kernel
@@ -88,4 +122,5 @@ exactness(1088, 1920, iters=5)  # banded HD kernel
 throughput(512, 640)
 throughput(1088, 1920)
 time_to_epe()
+time_to_epe_alpha1()
 print("DONE", flush=True)
