@@ -17,7 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from opticalflowhs_tpu.config import HSConfig, PyramidConfig
 from opticalflowhs_tpu.pyramid import _pyramid_body
-from opticalflowhs_tpu.solver import Flow, precompute, sweeps
+from opticalflowhs_tpu.solver import Flow, precompute, sweeps, sweeps_until
 
 
 @partial(jax.jit, static_argnames=("cfg", "stacked_ok"))
@@ -39,7 +39,8 @@ def _batched_solve_impl(
         import os
 
         if (
-            os.environ.get("HSFLOW_FUSED_SOLVE", "0") == "1"
+            cfg.tol == 0  # the fused pipeline bakes a fixed sweep schedule
+            and os.environ.get("HSFLOW_FUSED_SOLVE", "0") == "1"
             and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
         ):
             # Batched whole-solve fused pipeline (kernels/solve_fused.py):
@@ -63,6 +64,34 @@ def _batched_solve_impl(
         ex, ey, et, inv_den = precompute(i1, i2, cfg)  # stencils batch-aware
         u = jnp.zeros_like(ex)
         v = jnp.zeros_like(ex)
+        if cfg.tol > 0:
+            # Batch-global solve-to-tolerance around the stacked kernel:
+            # b-sweep kernel launches inside a while_loop, stop when the
+            # max update over the WHOLE stack drops below tol (budget cap
+            # = cfg.iters rounded down to whole blocks, as sweeps_until).
+            b = cfg.block_sweeps if cfg.block_sweeps > 0 else 16
+            b = min(b, max(cfg.iters, 1))
+            big = jnp.asarray(jnp.finfo(u.dtype).max, u.dtype)
+
+            def cond(st):
+                _, _, k, delta = st
+                return jnp.logical_and(k + b <= cfg.iters, delta > cfg.tol)
+
+            def body(st):
+                uu, vv, k, _ = st
+                nu, nv = jacobi_sweeps_batched(
+                    uu, vv, ex, ey, et, inv_den, b,
+                    block_sweeps=cfg.block_sweeps,
+                )
+                d = jnp.maximum(
+                    jnp.abs(nu - uu).max(), jnp.abs(nv - vv).max()
+                )
+                return (nu, nv, k + b, d)
+
+            uo, vo, _, _ = jax.lax.while_loop(
+                cond, body, (u, v, jnp.int32(0), big)
+            )
+            return Flow(uo, vo)
         uo, vo = jacobi_sweeps_batched(
             u, v, ex, ey, et, inv_den, cfg.iters, block_sweeps=cfg.block_sweeps
         )
@@ -72,6 +101,10 @@ def _batched_solve_impl(
         ex, ey, et, inv_den = precompute(a, b, cfg)
         u = jnp.zeros_like(ex)
         v = jnp.zeros_like(ex)
+        if cfg.tol > 0:
+            # vmapped while_loop -> global stop over the batch (runs until
+            # the slowest element converges; converged lanes are no-ops).
+            return sweeps_until(u, v, ex, ey, et, inv_den, cfg)
         return sweeps(u, v, ex, ey, et, inv_den, cfg.iters, cfg)
 
     return jax.vmap(single)(i1, i2)

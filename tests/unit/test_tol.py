@@ -98,6 +98,40 @@ def test_pyramid_tol_stops_early():
     assert epe(interior(f, 8), interior(gt, 8)) < 0.5  # still a good flow
 
 
+@pytest.mark.parametrize("backend", ["pallas", "jnp"])
+def test_batched_tol_unreachable_equals_budget(backend):
+    """Both batched routes (stacked kernel / vmap) honor tol: an
+    unreachable tol reproduces the fixed-budget stack exactly."""
+    from opticalflowhs_tpu.batch import hs_solve_batched
+
+    i1a, i2a = _frames(seed=1)
+    i1b, i2b = _frames(seed=2)
+    b1 = jnp.stack([i1a, i1b])
+    b2 = jnp.stack([i2a, i2b])
+    ft = hs_solve_batched(b1, b2, HSConfig(alpha=0.5, iters=32, tol=1e-30,
+                                           block_sweeps=8, backend=backend))
+    ff = hs_solve_batched(b1, b2, HSConfig(alpha=0.5, iters=32,
+                                           block_sweeps=8, backend=backend))
+    assert float(jnp.abs(ft.u - ff.u).max()) == 0.0
+    assert float(jnp.abs(ft.v - ff.v).max()) == 0.0
+
+
+def test_batched_tol_stops_early():
+    from opticalflowhs_tpu.batch import hs_solve_batched
+    from opticalflowhs_tpu.data.synthetic import translation_pair
+
+    i1, i2, _ = translation_pair(32, 64, 1.0, 0.5, key=11)
+    b1 = jnp.stack([jnp.asarray(i1)] * 2)
+    b2 = jnp.stack([jnp.asarray(i2)] * 2)
+    ft = hs_solve_batched(b1, b2, HSConfig(alpha=0.5, iters=256, tol=1e-2,
+                                           block_sweeps=2, backend="jnp"))
+    ff = hs_solve_batched(b1, b2, HSConfig(alpha=0.5, iters=256,
+                                           block_sweeps=2, backend="jnp"))
+    assert float(jnp.abs(ft.u - ff.u).max()) > 0
+    # Identical pairs -> identical per-lane flows under the global stop.
+    assert float(jnp.abs(ft.u[0] - ft.u[1]).max()) == 0.0
+
+
 def test_config_guards():
     with pytest.raises(ValueError, match="tol"):
         HSConfig(tol=-1.0)
