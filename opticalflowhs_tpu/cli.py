@@ -5,6 +5,7 @@ printed timing. Subcommands here:
 
     hsflow run f1.png f2.png -o out.flo [--viz flow.png] [--cfg.alpha 0.5] ...
     hsflow video frames_dir/ -o flows/ [--pyramid.levels 3]
+    hsflow eval middlebury ~/data/middlebury [--out results.json]
     hsflow bench [--shape 1024x1280] [--profile-dir DIR]
     hsflow viz in.flo -o flow.png [--needle]
     hsflow info
@@ -152,6 +153,55 @@ def _cmd_video(args, overrides):
     return 0
 
 
+def _cmd_eval(args, overrides):
+    """EPE/AE table over a benchmark dataset (Middlebury/Sintel/KITTI)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from opticalflowhs_tpu.data.datasets import (
+        KittiDataset, MiddleburyDataset, SintelDataset, evaluate,
+    )
+    from opticalflowhs_tpu.pyramid import hs_pyramid
+
+    rc = _build_config(args, overrides)
+    if args.kind == "middlebury":
+        ds = MiddleburyDataset(args.root)
+    elif args.kind == "sintel":
+        ds = SintelDataset(args.root, render_pass=args.render_pass)
+    else:
+        ds = KittiDataset(args.root, gt_dir=args.gt_dir)
+    if args.seq:
+        samples = [ds.sample(args.seq)]
+    else:
+        samples = ds
+
+    def solve(f1, f2):
+        flow = hs_pyramid(jnp.asarray(f1), jnp.asarray(f2), rc.hs, rc.pyramid)
+        return np.stack([np.asarray(flow.u), np.asarray(flow.v)], axis=-1)
+
+    t0 = time.perf_counter()
+    table = evaluate(samples, solve, limit=args.limit)
+    dt = time.perf_counter() - t0
+    if not table:
+        raise SystemExit("no GT-bearing samples found")
+    width = max(len(s) for s in table)
+    print(f"{'sequence':<{width}}  {'EPE':>8}  {'AE(deg)':>8}  {'n':>4}")
+    for seq, row in table.items():
+        if seq == "ALL":
+            continue
+        print(f"{seq:<{width}}  {row['epe']:>8.4f}  {row['ae']:>8.3f}  "
+              f"{row['n']:>4d}")
+    a = table["ALL"]
+    print(f"{'ALL':<{width}}  {a['epe']:>8.4f}  {a['ae']:>8.3f}  {a['n']:>4d}"
+          f"   ({dt:.1f}s, levels={rc.pyramid.levels} alpha={rc.hs.alpha} "
+          f"iters={rc.hs.iters} tol={rc.hs.tol})")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(table, f, indent=2)
+        print(f"wrote {args.out}")
+    return 0
+
+
 def _cmd_bench(args, overrides):
     from opticalflowhs_tpu.bench import run_bench, run_scaling_bench
 
@@ -218,6 +268,20 @@ def main(argv=None) -> int:
     pv.add_argument("--viz", action="store_true", help="also write PNGs")
     pv.add_argument("--chunk", type=int, default=8)
     pv.set_defaults(fn=_cmd_video)
+
+    pe = sub.add_parser(
+        "eval", help="EPE/AE table over a flow dataset (Middlebury/Sintel/KITTI)"
+    )
+    pe.add_argument("kind", choices=["middlebury", "sintel", "kitti"])
+    pe.add_argument("root", help="dataset root directory")
+    pe.add_argument("--seq", help="evaluate a single sequence/frame id")
+    pe.add_argument("--limit", type=int, help="max GT-bearing samples")
+    pe.add_argument("--out", help="write the per-sequence table as JSON")
+    pe.add_argument("--gt-dir", default="flow_occ",
+                    help="KITTI GT directory (flow_occ or flow_noc)")
+    pe.add_argument("--render-pass", default="clean",
+                    help="Sintel render pass (clean or final)")
+    pe.set_defaults(fn=_cmd_eval)
 
     pb = sub.add_parser("bench", help="benchmark harness (SURVEY.md §6 metrics)")
     pb.add_argument("--shape", default="1024x1280")

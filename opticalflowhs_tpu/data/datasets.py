@@ -177,17 +177,53 @@ class KittiDataset:
             yield self.sample(frame)
 
 
-def evaluate_epe(dataset, solve_fn) -> dict[str, float]:
-    """Run solve_fn(frame1, frame2) -> (H, W, 2) over a dataset, returning
-    per-sequence average EPE against GT (skipping samples without GT)."""
+def evaluate(dataset, solve_fn, limit: Optional[int] = None
+             ) -> dict[str, dict[str, float]]:
+    """Run solve_fn(frame1, frame2) -> (H, W, 2) over a dataset.
+
+    Returns {seq: {"epe": ..., "ae": ..., "n": ...}} (mean endpoint and
+    Barron angular error over the sequence's GT-bearing samples — unknown
+    GT pixels are excluded by metrics' sentinel masking) plus an "ALL" row
+    averaging over every evaluated sample. Samples without GT are skipped;
+    `limit` caps the number of evaluated samples (dataset order).
+    """
     from collections import defaultdict
 
-    from opticalflowhs_tpu.metrics import epe
+    from opticalflowhs_tpu.metrics import angular_error, epe
 
-    sums: dict[str, list[float]] = defaultdict(list)
+    rows: dict[str, list[tuple[float, float]]] = defaultdict(list)
+    n_done = 0
     for s in dataset:
         if s.gt_flow is None:
             continue
-        flow = solve_fn(s.frame1, s.frame2)
-        sums[s.seq].append(epe(np.asarray(flow), s.gt_flow))
-    return {seq: float(np.mean(v)) for seq, v in sums.items()}
+        if limit is not None and n_done >= limit:
+            break
+        flow = np.asarray(solve_fn(s.frame1, s.frame2))
+        rows[s.seq].append((epe(flow, s.gt_flow),
+                            angular_error(flow, s.gt_flow)))
+        n_done += 1
+    out = {
+        seq: {
+            "epe": float(np.mean([r[0] for r in v])),
+            "ae": float(np.mean([r[1] for r in v])),
+            "n": len(v),
+        }
+        for seq, v in rows.items()
+    }
+    allv = [r for v in rows.values() for r in v]
+    if allv:
+        out["ALL"] = {
+            "epe": float(np.mean([r[0] for r in allv])),
+            "ae": float(np.mean([r[1] for r in allv])),
+            "n": len(allv),
+        }
+    return out
+
+
+def evaluate_epe(dataset, solve_fn) -> dict[str, float]:
+    """Back-compat thin wrapper over `evaluate`: per-sequence mean EPE."""
+    return {
+        seq: row["epe"]
+        for seq, row in evaluate(dataset, solve_fn).items()
+        if seq != "ALL"
+    }

@@ -87,3 +87,34 @@ def test_evaluate_epe(middlebury_root):
     assert all(abs(e) < 1e-6 for e in errs.values())
     errs0 = evaluate_epe(ds, lambda a, b: np.zeros((*a.shape, 2), np.float32))
     assert all(abs(e - np.sqrt(2)) < 1e-5 for e in errs0.values())
+
+
+def test_evaluate_table(middlebury_root):
+    from opticalflowhs_tpu.data.datasets import evaluate
+
+    ds = MiddleburyDataset(middlebury_root)
+    table = evaluate(ds, lambda a, b: np.ones((*a.shape, 2), np.float32))
+    assert "ALL" in table
+    assert table["ALL"]["n"] == len(ds)
+    for row in table.values():
+        assert abs(row["epe"]) < 1e-6
+        assert abs(row["ae"]) < 1e-4  # exact direction -> zero angular error
+    lim = evaluate(ds, lambda a, b: np.ones((*a.shape, 2), np.float32),
+                   limit=1)
+    assert lim["ALL"]["n"] == 1
+
+
+def test_cli_eval(middlebury_root, capsys, tmp_path):
+    from opticalflowhs_tpu.cli import main
+
+    out = tmp_path / "eval.json"
+    rc = main(["eval", "middlebury", str(middlebury_root), "--out", str(out),
+               "--cfg.iters", "50", "--cfg.alpha", "0.5",
+               "--cfg.backend", "jnp", "--pyramid.levels", "1"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "ALL" in text and "EPE" in text
+    import json as _json
+
+    table = _json.loads(out.read_text())
+    assert "ALL" in table and table["ALL"]["n"] >= 1
