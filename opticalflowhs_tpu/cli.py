@@ -175,8 +175,21 @@ def _cmd_eval(args, overrides):
     else:
         samples = ds
 
+    tiled = rc.mesh.y * rc.mesh.x > 1
+    if tiled:
+        from opticalflowhs_tpu.dist import hs_pyramid_tiled, make_mesh
+
+        mesh = make_mesh(rc.mesh)
+
     def solve(f1, f2):
-        flow = hs_pyramid(jnp.asarray(f1), jnp.asarray(f2), rc.hs, rc.pyramid)
+        if tiled:
+            flow = hs_pyramid_tiled(
+                jnp.asarray(f1), jnp.asarray(f2), rc.hs, rc.pyramid,
+                mesh=mesh, halo_sweeps=rc.mesh.halo_sweeps,
+            )
+        else:
+            flow = hs_pyramid(jnp.asarray(f1), jnp.asarray(f2), rc.hs,
+                              rc.pyramid)
         return np.stack([np.asarray(flow.u), np.asarray(flow.v)], axis=-1)
 
     t0 = time.perf_counter()
