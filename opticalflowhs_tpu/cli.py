@@ -98,6 +98,17 @@ def _cmd_run(args, overrides):
     if args.needle:
         save_image(args.needle, needle_plot(f, background=np.asarray(i1)))
         print(f"wrote {args.needle}")
+    if args.egomotion:
+        from opticalflowhs_tpu.egomotion import estimate_egomotion
+
+        em = estimate_egomotion(flow)
+        foe = em.focus_of_expansion()
+        print(
+            f"egomotion: tx={float(em.tx):+.4f} ty={float(em.ty):+.4f} "
+            f"omega={float(em.omega):+.6f} scale={float(em.scale):+.6f} "
+            f"residual={float(em.residual):.4f} "
+            f"FOE=({float(foe[0]):+.1f}, {float(foe[1]):+.1f}) px from center"
+        )
     return 0
 
 
@@ -135,9 +146,22 @@ def _cmd_video(args, overrides):
         raise SystemExit(f"{args.frames}: expected a directory of frames")
     os.makedirs(args.output, exist_ok=True)
     pyr = rc.pyramid if rc.pyramid.levels > 1 else None
+    em_file = None
+    if args.egomotion:
+        from opticalflowhs_tpu.egomotion import estimate_egomotion
+        from opticalflowhs_tpu.solver import Flow
+
+        em_file = open(os.path.join(args.output, "egomotion.jsonl"), "w")
     t0 = time.perf_counter()
     idx = 0
     for chunk in flow_stream(frames, rc.hs, pyr, chunk=args.chunk):
+        if em_file is not None:
+            # Fit per pair BEFORE host readback — four psum-able reductions
+            # on device, negligible next to the solve.
+            ems = [
+                estimate_egomotion(Flow(chunk.u[k], chunk.v[k]))
+                for k in range(chunk.u.shape[0])
+            ]
         u = np.asarray(chunk.u)
         v = np.asarray(chunk.v)
         for k in range(u.shape[0]):
@@ -147,7 +171,18 @@ def _cmd_video(args, overrides):
                 save_image(
                     os.path.join(args.output, f"flow_{idx:05d}.png"), flow_to_color(f)
                 )
+            if em_file is not None:
+                em = ems[k]
+                em_file.write(json.dumps({
+                    "pair": idx,
+                    "tx": float(em.tx), "ty": float(em.ty),
+                    "omega": float(em.omega), "scale": float(em.scale),
+                    "residual": float(em.residual),
+                }) + "\n")
             idx += 1
+    if em_file is not None:
+        em_file.close()
+        print(f"wrote {os.path.join(args.output, 'egomotion.jsonl')}")
     dt = time.perf_counter() - t0
     print(f"{idx} flows from {n_frames} frames in {dt:.2f}s ({idx / dt:.1f} fps incl. compile)")
     return 0
@@ -273,6 +308,8 @@ def main(argv=None) -> int:
     pr.add_argument("-o", "--output", help=".flo output path")
     pr.add_argument("--viz", help="color-wheel PNG output path")
     pr.add_argument("--needle", help="needle-plot PNG output path")
+    pr.add_argument("--egomotion", action="store_true",
+                    help="print the 4-param rigid+zoom ego-motion fit + FOE")
     pr.set_defaults(fn=_cmd_run)
 
     pv = sub.add_parser("video", help="flow over a directory of frames")
@@ -280,6 +317,8 @@ def main(argv=None) -> int:
     pv.add_argument("-o", "--output", required=True, help="output directory")
     pv.add_argument("--viz", action="store_true", help="also write PNGs")
     pv.add_argument("--chunk", type=int, default=8)
+    pv.add_argument("--egomotion", action="store_true",
+                    help="write per-pair ego-motion fits to egomotion.jsonl")
     pv.set_defaults(fn=_cmd_video)
 
     pe = sub.add_parser(

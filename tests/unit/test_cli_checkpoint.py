@@ -82,6 +82,36 @@ def test_cli_video(tmp_path):
     assert len([p for p in os.listdir(odir) if p.endswith(".flo")]) == 3
 
 
+def test_cli_egomotion(tmp_path, pair_files, capsys):
+    """run --egomotion prints the rigid+zoom fit; video --egomotion writes
+    per-pair JSON-lines with a sane tx on a pure pan."""
+    import json
+
+    p1, p2 = pair_files
+    rc = cli_main(["run", p1, p2, "--egomotion", "--cfg.iters", "80",
+                   "--cfg.alpha", "0.1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "egomotion: tx=" in out and "FOE=" in out
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 1, (32, 64)).astype(np.float32)
+    fdir = tmp_path / "frames"
+    fdir.mkdir()
+    for k in range(3):
+        save_image(fdir / f"f{k:03d}.pgm", np.roll(base, k, axis=1))
+    odir = str(tmp_path / "flows")
+    rc = cli_main(["video", str(fdir), "-o", odir, "--egomotion",
+                   "--cfg.iters", "60", "--cfg.alpha", "0.1", "--chunk", "2"])
+    assert rc == 0
+    rows = [json.loads(l) for l in
+            open(os.path.join(odir, "egomotion.jsonl"))]
+    assert len(rows) == 2
+    for r in rows:
+        assert 0.5 < r["tx"] < 1.5  # wrap-around pan: 1 px/frame dominant
+        assert abs(r["ty"]) < 0.3
+
+
 def test_cli_info(capsys):
     assert cli_main(["info"]) == 0
     out = capsys.readouterr().out
