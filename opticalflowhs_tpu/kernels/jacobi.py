@@ -935,14 +935,15 @@ def tile_sweeps(
 
 
 def _jnp_sweeps(u, v, ex, ey, et, invd, n_sweeps):
-    """The jnp oracle twin of the kernels (same arithmetic to ~1 ulp);
-    fori_loop with a static trip count lowers to scan, so it is
-    reverse-differentiable — the backward pass below rides its VJP."""
-
-    def body(_, uv):
-        return stencils.jacobi_step(uv[0], uv[1], ex, ey, et, invd)
-
-    return jax.lax.fori_loop(0, n_sweeps, body, (u, v))
+    """The jnp oracle twin of the kernels (same arithmetic to ~1 ulp),
+    reverse-differentiable — the backward passes below ride its VJP. The
+    loop is sqrt(n)-checkpointed (stencils.checkpointed_loop) so gradient
+    memory is O(sqrt(n)) field-sized residuals instead of O(n); forward
+    arithmetic is identical."""
+    return stencils.checkpointed_loop(
+        lambda uv: stencils.jacobi_step(uv[0], uv[1], ex, ey, et, invd),
+        (u, v), n_sweeps,
+    )
 
 
 def jacobi_sweeps(

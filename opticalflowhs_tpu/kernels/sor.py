@@ -217,15 +217,18 @@ def _sor_sweeps_banded(u, v, ex, ey, et, invd, n_sweeps, s, band, h, w,
 
 def _jnp_sor_sweeps(u, v, ex, ey, et, invd, n_sweeps, omega):
     """jnp oracle twin (stencils.sor_step loop); reverse-differentiable —
-    the custom_vjp backward below rides its VJP, as in kernels/jacobi.py."""
+    the custom_vjp backward below rides its VJP, as in kernels/jacobi.py.
+    sqrt(n)-checkpointed for O(sqrt(n)) gradient memory."""
     from opticalflowhs_tpu.ops import stencils
 
     colors = stencils.color_masks(*u.shape)
 
-    def body(_, uv):
-        return stencils.sor_step(uv[0], uv[1], ex, ey, et, invd, omega, colors)
-
-    return jax.lax.fori_loop(0, n_sweeps, body, (u, v))
+    return stencils.checkpointed_loop(
+        lambda uv: stencils.sor_step(
+            uv[0], uv[1], ex, ey, et, invd, omega, colors
+        ),
+        (u, v), n_sweeps,
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))

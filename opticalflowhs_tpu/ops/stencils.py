@@ -263,3 +263,36 @@ def jacobi_step(
     vbar = neighbor_avg(v)
     frac = (ex * ubar + ey * vbar + et) * inv_den
     return ubar - ex * frac, vbar - ey * frac
+
+
+def checkpointed_loop(step, uv, n: int):
+    """Run `n` identical relaxation steps with sqrt(n) rematerialization.
+
+    Forward arithmetic is EXACTLY `n` applications of `step` (the oracle
+    invariant is untouched); the loop is structured as a lax.scan over
+    ~sqrt(n) jax.checkpoint-wrapped blocks so reverse-mode AD stores only
+    the block-boundary states and recomputes within blocks — gradient
+    memory drops from O(n) field-sized residuals (tens of GB at 1080p x
+    hundreds of sweeps, an instant OOM) to O(sqrt(n)). Loop-invariant data
+    closed over by `step` is saved once, not per block.
+    """
+    import math
+
+    import jax
+    from jax import lax
+
+    if n <= 0:
+        return uv
+    b = int(math.isqrt(n))
+    if b < 2:
+        return lax.fori_loop(0, n, lambda _, x: step(x), uv)
+    n_blocks, rem = divmod(n, b)
+
+    @jax.checkpoint
+    def block(x):
+        return lax.fori_loop(0, b, lambda _, y: step(y), x)
+
+    uv, _ = lax.scan(lambda c, _: (block(c), None), uv, None, length=n_blocks)
+    if rem:
+        uv = lax.fori_loop(0, rem, lambda _, x: step(x), uv)
+    return uv
