@@ -94,6 +94,26 @@ def test_tol_batched_global_stop(pair):
     assert np.isfinite(np.asarray(f.u)).all()
 
 
+def test_pyramid_tiled_tol_matches_untiled(pair):
+    """tol flows through the sharded pyramid per level: matched cadences
+    (halo_sweeps == block_sweeps) give identical stopping blocks, so the
+    tiled pyramid == untiled pyramid to float tolerance."""
+    from opticalflowhs_tpu.config import PyramidConfig
+    from opticalflowhs_tpu.dist import hs_pyramid_tiled
+    from opticalflowhs_tpu.pyramid import hs_pyramid
+
+    i1, i2, _ = translation_pair(64, 96, 3.0, 0.0, key=9)
+    i1, i2 = jnp.asarray(i1), jnp.asarray(i2)
+    mesh = make_mesh(MeshConfig(batch=1, y=2, x=2))
+    pyr = PyramidConfig(levels=3)
+    cfg = HSConfig(alpha=0.5, iters=128, tol=1e-2, block_sweeps=2,
+                   backend="jnp")
+    ft = hs_pyramid_tiled(i1, i2, cfg, pyr, mesh=mesh, halo_sweeps=2)
+    fu = hs_pyramid(i1, i2, cfg, pyr)
+    np.testing.assert_allclose(np.asarray(ft.u), np.asarray(fu.u), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ft.v), np.asarray(fu.v), atol=2e-6)
+
+
 def test_tol_guards(pair):
     i1, i2 = pair
     mesh = make_mesh(MeshConfig(batch=1, y=2, x=1))
