@@ -66,32 +66,15 @@ def _batched_solve_impl(
         v = jnp.zeros_like(ex)
         if cfg.tol > 0:
             # Batch-global solve-to-tolerance around the stacked kernel:
-            # b-sweep kernel launches inside a while_loop, stop when the
-            # max update over the WHOLE stack drops below tol (budget cap
-            # = cfg.iters rounded down to whole blocks, as sweeps_until).
-            b = cfg.block_sweeps if cfg.block_sweeps > 0 else 16
-            b = min(b, max(cfg.iters, 1))
-            big = jnp.asarray(jnp.finfo(u.dtype).max, u.dtype)
-
-            def cond(st):
-                _, _, k, delta = st
-                return jnp.logical_and(k + b <= cfg.iters, delta > cfg.tol)
-
-            def body(st):
-                uu, vv, k, _ = st
-                nu, nv = jacobi_sweeps_batched(
-                    uu, vv, ex, ey, et, inv_den, b,
+            # sweeps_until supplies the stop semantics, the stacked kernel
+            # runs each check block (max update over the WHOLE stack).
+            return sweeps_until(
+                u, v, ex, ey, et, inv_den, cfg,
+                run_block=lambda uu, vv, nn: jacobi_sweeps_batched(
+                    uu, vv, ex, ey, et, inv_den, nn,
                     block_sweeps=cfg.block_sweeps,
-                )
-                d = jnp.maximum(
-                    jnp.abs(nu - uu).max(), jnp.abs(nv - vv).max()
-                )
-                return (nu, nv, k + b, d)
-
-            uo, vo, _, _ = jax.lax.while_loop(
-                cond, body, (u, v, jnp.int32(0), big)
+                ),
             )
-            return Flow(uo, vo)
         uo, vo = jacobi_sweeps_batched(
             u, v, ex, ey, et, inv_den, cfg.iters, block_sweeps=cfg.block_sweeps
         )

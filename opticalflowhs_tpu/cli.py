@@ -154,34 +154,39 @@ def _cmd_video(args, overrides):
         em_file = open(os.path.join(args.output, "egomotion.jsonl"), "w")
     t0 = time.perf_counter()
     idx = 0
-    for chunk in flow_stream(frames, rc.hs, pyr, chunk=args.chunk):
-        if em_file is not None:
-            # Fit per pair BEFORE host readback — four psum-able reductions
-            # on device, negligible next to the solve.
-            ems = [
-                estimate_egomotion(Flow(chunk.u[k], chunk.v[k]))
-                for k in range(chunk.u.shape[0])
-            ]
-        u = np.asarray(chunk.u)
-        v = np.asarray(chunk.v)
-        for k in range(u.shape[0]):
-            f = np.stack([u[k], v[k]], axis=-1)
-            write_flo(os.path.join(args.output, f"flow_{idx:05d}.flo"), f)
-            if args.viz:
-                save_image(
-                    os.path.join(args.output, f"flow_{idx:05d}.png"), flow_to_color(f)
-                )
+    try:
+        for chunk in flow_stream(frames, rc.hs, pyr, chunk=args.chunk):
             if em_file is not None:
-                em = ems[k]
-                em_file.write(json.dumps({
-                    "pair": idx,
-                    "tx": float(em.tx), "ty": float(em.ty),
-                    "omega": float(em.omega), "scale": float(em.scale),
-                    "residual": float(em.residual),
-                }) + "\n")
-            idx += 1
+                # Fit per pair BEFORE host readback — four psum-able
+                # reductions on device, negligible next to the solve.
+                ems = [
+                    estimate_egomotion(Flow(chunk.u[k], chunk.v[k]))
+                    for k in range(chunk.u.shape[0])
+                ]
+            u = np.asarray(chunk.u)
+            v = np.asarray(chunk.v)
+            for k in range(u.shape[0]):
+                f = np.stack([u[k], v[k]], axis=-1)
+                write_flo(os.path.join(args.output, f"flow_{idx:05d}.flo"), f)
+                if args.viz:
+                    save_image(
+                        os.path.join(args.output, f"flow_{idx:05d}.png"),
+                        flow_to_color(f),
+                    )
+                if em_file is not None:
+                    em = ems[k]
+                    em_file.write(json.dumps({
+                        "pair": idx,
+                        "tx": float(em.tx), "ty": float(em.ty),
+                        "omega": float(em.omega), "scale": float(em.scale),
+                        "residual": float(em.residual),
+                    }) + "\n")
+                idx += 1
+    finally:
+        # Flush fits computed so far even if the stream dies mid-run.
+        if em_file is not None:
+            em_file.close()
     if em_file is not None:
-        em_file.close()
         print(f"wrote {os.path.join(args.output, 'egomotion.jsonl')}")
     dt = time.perf_counter() - t0
     print(f"{idx} flows from {n_frames} frames in {dt:.2f}s ({idx / dt:.1f} fps incl. compile)")

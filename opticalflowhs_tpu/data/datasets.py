@@ -194,10 +194,16 @@ def evaluate(dataset, solve_fn, limit: Optional[int] = None
     rows: dict[str, list[tuple[float, float]]] = defaultdict(list)
     n_done = 0
     for s in dataset:
-        if s.gt_flow is None:
-            continue
+        # Limit check first: once satisfied, stop iterating entirely rather
+        # than keep decoding frames of GT-less samples just to skip them.
         if limit is not None and n_done >= limit:
             break
+        if s.gt_flow is None:
+            continue
+        if s.seq == "ALL":
+            raise ValueError(
+                "sequence name 'ALL' collides with the aggregate row"
+            )
         flow = np.asarray(solve_fn(s.frame1, s.frame2))
         rows[s.seq].append((epe(flow, s.gt_flow),
                             angular_error(flow, s.gt_flow)))

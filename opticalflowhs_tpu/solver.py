@@ -133,6 +133,7 @@ def sweeps_until(
     inv_den: jnp.ndarray,
     cfg: HSConfig,
     budget: Optional[int] = None,
+    run_block=None,
 ) -> Flow:
     """Solve-to-tolerance (cfg.tol > 0): lax.while_loop over check blocks
     of `block_sweeps` sweeps (1 V-cycle for multigrid), stopping when the
@@ -140,8 +141,16 @@ def sweeps_until(
     (`budget`, default cfg.iters — pyramids pass per-level budgets) is
     exhausted (rounded DOWN to whole blocks — the while_loop trip size is
     trace-static) — entirely on-device, one jit region. The reference's
-    loop (SURVEY.md §3.1) can only run a fixed count."""
+    loop (SURVEY.md §3.1) can only run a fixed count.
+
+    `run_block(u, v, n) -> (u, v)` overrides the default block runner
+    (`sweeps` on the captured fields) — the batched stacked-kernel route
+    passes its own so the stop semantics live in exactly one place."""
     iters = cfg.iters if budget is None else budget
+    if run_block is None:
+        def run_block(uu, vv, nn):
+            return sweeps(uu, vv, ex, ey, et, inv_den, nn, cfg)
+
     if cfg.solver == "multigrid":
         b = 1
     elif cfg.block_sweeps > 0:
@@ -157,11 +166,11 @@ def sweeps_until(
 
     def body(st):
         uu, vv, k, _ = st
-        f = sweeps(uu, vv, ex, ey, et, inv_den, b, cfg)
+        nu, nv = run_block(uu, vv, b)
         delta = jnp.maximum(
-            jnp.abs(f.u - uu).max(), jnp.abs(f.v - vv).max()
+            jnp.abs(nu - uu).max(), jnp.abs(nv - vv).max()
         )
-        return (f.u, f.v, k + b, delta)
+        return (nu, nv, k + b, delta)
 
     u, v, _, _ = lax.while_loop(cond, body, (u, v, jnp.int32(0), big))
     return Flow(u, v)

@@ -30,17 +30,21 @@ def timeit(fn, n=10):
 
 
 def overhead(h=1088, w=1920, iters=400, n=5):
+    """Per-cadence A/B: the fixed baseline is re-timed at the SAME
+    block_sweeps as each tol leg, so kernel banding and launch count are
+    held constant and the printed delta isolates the convergence test
+    (while_loop + per-block masked max + cond)."""
     i1, i2, _ = translation_pair(h, w, 1.0, 0.0, key=3)
     i1, i2 = jnp.asarray(i1), jnp.asarray(i2)
-    base = timeit(lambda: hs_solve(
-        i1, i2, HSConfig(alpha=0.1, iters=iters, backend="pallas")), n)
-    print(f"ovh fixed   i{iters}: {base*1e3:8.2f} ms", flush=True)
     for b in (16, 50, 100):
+        base = timeit(lambda: hs_solve(
+            i1, i2, HSConfig(alpha=0.1, iters=iters, block_sweeps=b,
+                             backend="pallas")), n)
         cfg = HSConfig(alpha=0.1, iters=iters, tol=1e-30, block_sweeps=b,
                        backend="pallas")
         dt = timeit(lambda: hs_solve(i1, i2, cfg), n)
-        print(f"ovh tol b{b:4d} i{iters}: {dt*1e3:8.2f} ms  "
-              f"(+{(dt/base-1)*100:.1f}%)", flush=True)
+        print(f"ovh b{b:4d} i{iters}: fixed {base*1e3:8.2f} ms  "
+              f"tol {dt*1e3:8.2f} ms  (+{(dt/base-1)*100:.1f}%)", flush=True)
 
 
 def time_to_epe(h=1088, w=1920, n=5):
