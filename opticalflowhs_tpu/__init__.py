@@ -20,6 +20,7 @@ from opticalflowhs_tpu.config import HSConfig, PyramidConfig, MeshConfig, RunCon
 from opticalflowhs_tpu.solver import Flow, hs_solve
 from opticalflowhs_tpu.pyramid import hs_pyramid
 from opticalflowhs_tpu.batch import hs_solve_batched
+from opticalflowhs_tpu.consistency import flow_with_occlusion
 
 __version__ = "0.1.0"
 
@@ -32,5 +33,6 @@ __all__ = [
     "hs_solve",
     "hs_solve_batched",
     "hs_pyramid",
+    "flow_with_occlusion",
     "__version__",
 ]

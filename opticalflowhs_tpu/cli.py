@@ -70,7 +70,17 @@ def _cmd_run(args, overrides):
     i2 = jnp.asarray(load_gray(args.frame2))
     t0 = time.perf_counter()
     tiled = rc.mesh.y * rc.mesh.x > 1
-    if tiled:
+    occ = None
+    if args.occlusion:
+        if tiled:
+            raise SystemExit("--occlusion is not yet wired to mesh runs "
+                             "(drop --mesh.* or the flag)")
+        # Both directions in ONE batch-2 solve; the forward leg IS the
+        # output flow (same arithmetic as the batched solve path).
+        from opticalflowhs_tpu.consistency import flow_with_occlusion
+
+        flow, occ = flow_with_occlusion(i1, i2, rc.hs, rc.pyramid)
+    elif tiled:
         # Spatial mesh requested: route through the sharded pyramid (a 1-level
         # pyramid is exactly the tiled solve).
         from opticalflowhs_tpu.dist import hs_pyramid_tiled, make_mesh
@@ -98,6 +108,10 @@ def _cmd_run(args, overrides):
     if args.needle:
         save_image(args.needle, needle_plot(f, background=np.asarray(i1)))
         print(f"wrote {args.needle}")
+    if occ is not None:
+        m = np.asarray(occ)
+        save_image(args.occlusion, m.astype(np.float32))
+        print(f"wrote {args.occlusion} ({100 * m.mean():.1f}% flagged)")
     if args.egomotion:
         from opticalflowhs_tpu.egomotion import estimate_egomotion
 
@@ -315,6 +329,10 @@ def main(argv=None) -> int:
     pr.add_argument("--needle", help="needle-plot PNG output path")
     pr.add_argument("--egomotion", action="store_true",
                     help="print the 4-param rigid+zoom ego-motion fit + FOE")
+    pr.add_argument("--occlusion", metavar="PNG",
+                    help="also solve the reverse direction (one batch-2 "
+                         "solve) and write the forward-backward occlusion "
+                         "mask here")
     pr.set_defaults(fn=_cmd_run)
 
     pv = sub.add_parser("video", help="flow over a directory of frames")

@@ -112,6 +112,16 @@ def test_cli_egomotion(tmp_path, pair_files, capsys):
         assert abs(r["ty"]) < 0.3
 
 
+def test_cli_occlusion(tmp_path, pair_files, capsys):
+    p1, p2 = pair_files
+    png = str(tmp_path / "occ.png")
+    rc = cli_main(["run", p1, p2, "--occlusion", png, "--cfg.iters", "40",
+                   "--cfg.alpha", "0.3"])
+    assert rc == 0
+    assert os.path.getsize(png) > 0
+    assert "% flagged" in capsys.readouterr().out
+
+
 def test_cli_info(capsys):
     assert cli_main(["info"]) == 0
     out = capsys.readouterr().out
