@@ -52,7 +52,11 @@ def main():
             HSConfig(alpha=0.1, iters=400), PyramidConfig(levels=3),
         )
     else:
-        flow = hs_solve(jnp.asarray(i1), jnp.asarray(i2), HSConfig(alpha=0.1, iters=800))
+        # Solve-to-tolerance: stop when the max update/block < 1e-4 px
+        # instead of guessing an iteration count (iters = budget cap).
+        flow = hs_solve(jnp.asarray(i1), jnp.asarray(i2),
+                        HSConfig(alpha=0.1, iters=2000, tol=1e-4,
+                                 block_sweeps=50))
     f = np.stack([np.asarray(flow.u), np.asarray(flow.v)], axis=-1)
     dt = time.perf_counter() - t0
 
@@ -67,7 +71,18 @@ def main():
         f"ego-motion: t=({float(em.tx):+.2f}, {float(em.ty):+.2f}) px "
         f"(true {tx:+.2f}, {ty:+.2f}), residual {float(em.residual):.4f}"
     )
-    print(f"outputs in {args.out}/: frame1/2.png flow.flo flow_color.png flow_needles.png")
+
+    from opticalflowhs_tpu import flow_with_occlusion
+
+    _, occ = flow_with_occlusion(
+        jnp.asarray(i1), jnp.asarray(i2), HSConfig(alpha=0.1, iters=300)
+    )
+    save_image(os.path.join(args.out, "occlusion.png"),
+               np.asarray(occ).astype(np.float32))
+    print(f"occlusion mask (fwd-bwd test): {100 * float(occ.mean()):.1f}% "
+          f"flagged (periodic synthetic pair -> expect ~0)")
+    print(f"outputs in {args.out}/: frame1/2.png flow.flo flow_color.png "
+          f"flow_needles.png occlusion.png")
 
 
 if __name__ == "__main__":
