@@ -113,6 +113,11 @@ def hs_solve_batched(
     """
     if i1.ndim != 3:
         raise ValueError(f"expected (B, H, W) frame stacks, got {i1.shape}")
+    if cfg.solver == "sor" and cfg.omega == 0.0:
+        raise ValueError(
+            "omega=0 (auto) is single-pair only — call solver.tune_omega on "
+            "a representative pair and pass the result"
+        )
     if mesh is not None:
         sharding = NamedSharding(mesh, P("batch", None, None))
         i1 = jax.device_put(i1, sharding)

@@ -50,7 +50,8 @@ class HSConfig:
                                 # round-trip (0 = auto; VMEM path always blocks maximally)
     checkpoint_every: int = 0   # 0 = never; else chunk fori_loop every K sweeps
     solver: str = "jacobi"      # relaxation scheme (SOLVERS)
-    omega: float = 1.9          # SOR over-relaxation factor, (0, 2)
+    omega: float = 1.9          # SOR over-relaxation factor, (0, 2);
+                                # 0 = auto-tune per problem (tune_omega)
     tol: float = 0.0            # > 0: solve-to-tolerance — stop when the max
                                 # u/v update over a check block (block_sweeps
                                 # sweeps, or 1 V-cycle) drops below tol px;
@@ -65,8 +66,9 @@ class HSConfig:
             raise ValueError(f"backend must be one of {BACKENDS}")
         if self.solver not in SOLVERS:
             raise ValueError(f"solver must be one of {SOLVERS}")
-        if not 0.0 < self.omega < 2.0:
-            raise ValueError("omega must be in (0, 2)")
+        if not (self.omega == 0.0 or 0.0 < self.omega < 2.0):
+            raise ValueError("omega must be in (0, 2), or 0 for auto-tuned "
+                             "(solver.tune_omega; hs_solve only)")
         if self.tol < 0:
             raise ValueError("tol must be >= 0")
         if self.tol > 0 and self.checkpoint_every > 0:

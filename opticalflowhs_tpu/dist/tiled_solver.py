@@ -277,6 +277,11 @@ def hs_solve_tiled(
             "hs_solve_tiled supports solver='jacobi' or 'sor'; multigrid "
             "is single-device (see solver.hs_solve)"
         )
+    if cfg.solver == "sor" and cfg.omega == 0.0:
+        raise ValueError(
+            "omega=0 (auto) is single-pair only — call solver.tune_omega on "
+            "a representative pair and pass the result"
+        )
     if cfg.solver == "sor" and halo_impl == "rdma":
         raise ValueError(
             "halo_impl='rdma' supports solver='jacobi' only (the fused ring "

@@ -299,4 +299,12 @@ def hs_pyramid(
         raise ValueError(
             f"{pyr.levels} levels would shrink a {i1.shape[-2:]} frame below 8 px"
         )
+    if cfg.solver == "sor" and cfg.omega == 0.0:
+        # Auto-omega from the full-resolution problem (coarser levels are
+        # easier — better conditioned — so this is a safe upper bound).
+        import dataclasses
+
+        from opticalflowhs_tpu.solver import tune_omega
+
+        cfg = dataclasses.replace(cfg, omega=tune_omega(i1, i2, cfg))
     return _hs_pyramid_impl(i1, i2, cfg, pyr)
