@@ -133,7 +133,7 @@ def _cmd_video(args, overrides):
 
     from opticalflowhs_tpu.io.flo import write_flo
     from opticalflowhs_tpu.io.images import load_gray, save_image
-    from opticalflowhs_tpu.video import flow_stream
+    from opticalflowhs_tpu.video import flow_stream, flow_stream_occlusion
     from opticalflowhs_tpu.viz import flow_to_color
 
     rc = _build_config(args, overrides)
@@ -168,8 +168,18 @@ def _cmd_video(args, overrides):
         em_file = open(os.path.join(args.output, "egomotion.jsonl"), "w")
     t0 = time.perf_counter()
     idx = 0
+    if args.occlusion:
+        # Both directions per chunk in one 2B-batch solve + fb masks.
+        stream = (
+            (fl, np.asarray(m))
+            for fl, m in flow_stream_occlusion(frames, rc.hs, pyr,
+                                               chunk=args.chunk)
+        )
+    else:
+        stream = ((fl, None) for fl in flow_stream(frames, rc.hs, pyr,
+                                                   chunk=args.chunk))
     try:
-        for chunk in flow_stream(frames, rc.hs, pyr, chunk=args.chunk):
+        for chunk, masks in stream:
             if em_file is not None:
                 # Fit per pair BEFORE host readback — four psum-able
                 # reductions on device, negligible next to the solve.
@@ -186,6 +196,11 @@ def _cmd_video(args, overrides):
                     save_image(
                         os.path.join(args.output, f"flow_{idx:05d}.png"),
                         flow_to_color(f),
+                    )
+                if masks is not None:
+                    save_image(
+                        os.path.join(args.output, f"occ_{idx:05d}.png"),
+                        masks[k].astype(np.float32),
                     )
                 if em_file is not None:
                     em = ems[k]
@@ -342,6 +357,9 @@ def main(argv=None) -> int:
     pv.add_argument("--chunk", type=int, default=8)
     pv.add_argument("--egomotion", action="store_true",
                     help="write per-pair ego-motion fits to egomotion.jsonl")
+    pv.add_argument("--occlusion", action="store_true",
+                    help="also solve backward flow (same batched launches) "
+                         "and write fb-occlusion masks occ_XXXXX.png")
     pv.set_defaults(fn=_cmd_video)
 
     pe = sub.add_parser(

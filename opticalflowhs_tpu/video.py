@@ -66,6 +66,52 @@ def flow_stream(
         yield hs_solve_batched(cur[:-1], cur[1:], cfg, pyr)
 
 
+def flow_stream_occlusion(
+    frames: Union[np.ndarray, Iterable[np.ndarray]],
+    cfg: HSConfig = HSConfig(),
+    pyr: Optional[PyramidConfig] = None,
+    chunk: int = 8,
+    a: float = 0.01,
+    b: float = 0.5,
+) -> Iterator[tuple[Flow, jnp.ndarray]]:
+    """flow_stream plus per-pair occlusion masks: yields (forward Flow,
+    boolean mask) per chunk.
+
+    Both directions ride ONE 2B-batch solve per chunk (the backward pairs
+    are appended to the same stack, so fwd+bwd share every kernel launch),
+    then the forward-backward test (consistency.occlusion_mask) runs
+    vmapped on device. Thresholds (a, b) as occlusion_mask.
+    """
+    from functools import partial
+
+    from opticalflowhs_tpu.consistency import occlusion_mask
+
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
+    if isinstance(frames, (np.ndarray, jnp.ndarray)):
+        if frames.ndim != 3:
+            raise ValueError(f"expected (T, H, W) video, got {frames.shape}")
+        frames = iter(frames)
+
+    mask_fn = jax.jit(jax.vmap(partial(occlusion_mask, a=a, b=b)))
+    windows = _chunked_with_overlap(frames, chunk)
+    nxt = next(windows, None)
+    dev_next = jax.device_put(nxt) if nxt is not None else None
+    while dev_next is not None:
+        cur = dev_next
+        nxt = next(windows, None)
+        dev_next = jax.device_put(nxt) if nxt is not None else None
+        n = cur.shape[0] - 1
+        f = hs_solve_batched(
+            jnp.concatenate([cur[:-1], cur[1:]]),
+            jnp.concatenate([cur[1:], cur[:-1]]),
+            cfg, pyr,
+        )
+        fwd = Flow(f.u[:n], f.v[:n])
+        bwd = Flow(f.u[n:], f.v[n:])
+        yield fwd, mask_fn(fwd, bwd)
+
+
 def flow_video(
     frames: np.ndarray,
     cfg: HSConfig = HSConfig(),

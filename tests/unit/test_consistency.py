@@ -58,6 +58,36 @@ def test_translation_pair_is_mostly_consistent():
     assert abs(float(jnp.mean(flow.u)) - 1.0) < 0.2
 
 
+def test_flow_stream_occlusion_matches_per_pair():
+    """Streaming masks == flow_with_occlusion per pair (same arithmetic),
+    and the forward flow == plain flow_stream."""
+    from opticalflowhs_tpu.video import flow_stream, flow_stream_occlusion
+
+    rng = np.random.default_rng(2)
+    base = rng.uniform(0, 1, (24, 32)).astype(np.float32)
+    video = np.stack([np.roll(base, k, axis=1) for k in range(5)])
+    cfg = HSConfig(alpha=0.3, iters=30, backend="jnp")
+
+    flows, masks = [], []
+    for fl, m in flow_stream_occlusion(video, cfg, chunk=2):
+        flows.append((np.asarray(fl.u), np.asarray(fl.v)))
+        masks.append(np.asarray(m))
+    ref_flows = [(np.asarray(f.u), np.asarray(f.v))
+                 for f in flow_stream(video, cfg, chunk=2)]
+    assert len(flows) == len(ref_flows)
+    for (u, v), (ru, rv) in zip(flows, ref_flows):
+        np.testing.assert_allclose(u, ru, atol=1e-6)
+        np.testing.assert_allclose(v, rv, atol=1e-6)
+
+    mask_all = np.concatenate(masks)
+    assert mask_all.shape == (4, 24, 32)
+    for k in range(4):
+        _, occ = flow_with_occlusion(
+            jnp.asarray(video[k]), jnp.asarray(video[k + 1]), cfg
+        )
+        np.testing.assert_array_equal(mask_all[k], np.asarray(occ))
+
+
 def test_occluded_region_is_flagged():
     """Paste a block into frame 2 that exists nowhere in frame 1: pixels
     under the block have no true correspondence. The fb error must be
