@@ -207,6 +207,46 @@ def _tile_body(
     return Flow(u, v)
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _tiled_mg_impl(i1, i2, cfg: HSConfig, mesh: Mesh) -> Flow:
+    """Mesh-sharded multigrid: the V-cycle runs as GLOBAL jit ops under
+    GSPMD sharding constraints — same arithmetic as the single-device
+    cycle up to partitioner reassociation (tiled == untiled to ~2e-6,
+    tested), with XLA inserting the halo collectives for every
+    smoothing/restriction/prolongation stencil. The
+    TPU-idiomatic division of labor: multigrid does FEW sweeps over many
+    small grids (coarse levels may even be replicated by the partitioner,
+    which is the right call at that size), so compiler-scheduled halos
+    beat hand-rolled blockwise ppermute here — the opposite tradeoff from
+    the many-sweep Jacobi/SOR tile bodies."""
+    from opticalflowhs_tpu.multigrid import mg_solve
+
+    spec = P("y", "x")
+    sh = NamedSharding(mesh, spec)
+    dtype = jnp.dtype(cfg.dtype)
+    a = lax.with_sharding_constraint(i1.astype(dtype), sh)
+    b = lax.with_sharding_constraint(i2.astype(dtype), sh)
+    ex, ey, et = stencils.derivatives(a, b, cfg.deriv_variant)
+    u = jnp.zeros_like(ex)
+    v = jnp.zeros_like(ex)
+    if cfg.tol > 0:
+        from opticalflowhs_tpu.solver import sweeps_until
+
+        flow = sweeps_until(
+            u, v, ex, ey, et, ex, cfg,  # inv_den unused by the override
+            run_block=lambda uu, vv, nn: mg_solve(
+                uu, vv, ex, ey, et, cfg.alpha, nn
+            ),
+        )
+        u, v = flow.u, flow.v
+    else:
+        u, v = mg_solve(u, v, ex, ey, et, cfg.alpha, cfg.iters)
+    return Flow(
+        lax.with_sharding_constraint(u, sh),
+        lax.with_sharding_constraint(v, sh),
+    )
+
+
 @partial(jax.jit,
          static_argnames=("cfg", "s", "mesh", "batched", "h", "w", "halo_impl"))
 def _tiled_impl(i1, i2, cfg: HSConfig, s: int, mesh: Mesh, batched: bool,
@@ -270,13 +310,19 @@ def hs_solve_tiled(
     if halo_impl not in ("ppermute", "rdma"):
         raise ValueError("halo_impl must be 'ppermute' or 'rdma'")
     if cfg.solver == "multigrid":
-        # Coarse grids would need mesh-level restriction/prolongation (and
-        # sub-tile grids collapse below the shard size); not built — use
-        # solver='sor' for tiled acceleration, or hs_pyramid_tiled.
-        raise ValueError(
-            "hs_solve_tiled supports solver='jacobi' or 'sor'; multigrid "
-            "is single-device (see solver.hs_solve)"
-        )
+        # GSPMD route: the whole V-cycle as global sharded jit ops (exact
+        # same arithmetic as single-device; XLA schedules the halos).
+        if i1.ndim != 2:
+            raise ValueError(
+                "tiled multigrid takes single (H, W) pairs (stack via "
+                "batch.hs_solve_batched on a 'batch'-sharded mesh instead)"
+            )
+        if halo_impl != "ppermute":
+            raise ValueError("tiled multigrid uses the GSPMD path; "
+                             "halo_impl does not apply")
+        # No pre-sharded device_put: with_sharding_constraint inside the
+        # jit accepts uneven (odd H x W) shardings, device_put does not.
+        return _tiled_mg_impl(i1, i2, cfg, mesh)
     if cfg.solver == "sor" and cfg.omega == 0.0:
         raise ValueError(
             "omega=0 (auto) is single-pair only — call solver.tune_omega on "

@@ -124,12 +124,59 @@ def test_batched_mg_matches_loop():
         assert float(jnp.abs(fb.u[k] - f.u).max()) <= 1e-5
 
 
-def test_tiled_solver_rejects_multigrid():
+@pytest.mark.parametrize("my,mx", [(2, 4), (4, 2), (1, 8)])
+def test_tiled_multigrid_matches_untiled(my, mx):
+    """GSPMD-sharded V-cycle == single-device V-cycle (same arithmetic,
+    XLA-scheduled halos), at several mesh shapes."""
+    from opticalflowhs_tpu.config import MeshConfig
+    from opticalflowhs_tpu.data.synthetic import translation_pair
+    from opticalflowhs_tpu.dist import make_mesh
+    from opticalflowhs_tpu.dist.tiled_solver import hs_solve_tiled
+
+    i1, i2, _ = translation_pair(64, 96, 1.0, 0.0, key=3)
+    i1, i2 = jnp.asarray(i1), jnp.asarray(i2)
+    cfg = HSConfig(alpha=1.0, iters=2, solver="multigrid", backend="jnp")
+    mesh = make_mesh(MeshConfig(batch=1, y=my, x=mx))
+    ft = hs_solve_tiled(i1, i2, cfg, mesh=mesh)
+    fu = hs_solve(i1, i2, cfg)
+    # GSPMD may reassociate the restriction/prolongation convs (measured
+    # 1.5e-6 at 1x8); "same arithmetic" here is float-tolerance, not
+    # bitwise like the hand-rolled halo paths.
+    assert float(jnp.abs(ft.u - fu.u).max()) <= 5e-6
+    assert float(jnp.abs(ft.v - fu.v).max()) <= 5e-6
+
+
+def test_tiled_multigrid_odd_shape_and_tol():
+    """Uneven GSPMD shardings (odd H x W) and the tol route both match."""
+    from opticalflowhs_tpu.config import MeshConfig
+    from opticalflowhs_tpu.data.synthetic import translation_pair
+    from opticalflowhs_tpu.dist import make_mesh
+    from opticalflowhs_tpu.dist.tiled_solver import hs_solve_tiled
+
+    i1, i2, _ = translation_pair(37, 115, 1.0, 0.0, key=5)
+    i1, i2 = jnp.asarray(i1), jnp.asarray(i2)
+    mesh = make_mesh(MeshConfig(batch=1, y=2, x=4))
+    cfg = HSConfig(alpha=1.0, iters=3, solver="multigrid", backend="jnp")
+    ft = hs_solve_tiled(i1, i2, cfg, mesh=mesh)
+    fu = hs_solve(i1, i2, cfg)
+    assert float(jnp.abs(ft.u - fu.u).max()) <= 5e-6
+    cfg_t = HSConfig(alpha=1.0, iters=8, tol=1e-30, solver="multigrid",
+                     backend="jnp")
+    cfg_f = HSConfig(alpha=1.0, iters=8, solver="multigrid", backend="jnp")
+    ftt = hs_solve_tiled(i1, i2, cfg_t, mesh=mesh)
+    ftf = hs_solve_tiled(i1, i2, cfg_f, mesh=mesh)
+    assert float(jnp.abs(ftt.u - ftf.u).max()) == 0.0
+
+
+def test_tiled_multigrid_guards():
     from opticalflowhs_tpu.config import MeshConfig
     from opticalflowhs_tpu.dist import make_mesh
     from opticalflowhs_tpu.dist.tiled_solver import hs_solve_tiled
 
     mesh = make_mesh(MeshConfig(batch=1, y=2, x=4))
-    i = jnp.zeros((32, 64), jnp.float32)
-    with pytest.raises(ValueError, match="multigrid"):
+    i = jnp.zeros((4, 32, 64), jnp.float32)
+    with pytest.raises(ValueError, match="single"):
         hs_solve_tiled(i, i, HSConfig(solver="multigrid"), mesh=mesh)
+    with pytest.raises(ValueError, match="GSPMD"):
+        hs_solve_tiled(i[0], i[0], HSConfig(solver="multigrid"), mesh=mesh,
+                       halo_impl="rdma")
