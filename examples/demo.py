@@ -29,7 +29,7 @@ def main():
     import numpy as np
     import jax.numpy as jnp
 
-    from opticalflowhs_tpu import HSConfig, PyramidConfig, hs_pyramid, hs_solve
+    from opticalflowhs_tpu import HSConfig, PyramidConfig, flow_with_occlusion
     from opticalflowhs_tpu.data.synthetic import translation_pair
     from opticalflowhs_tpu.egomotion import estimate_egomotion
     from opticalflowhs_tpu.io.flo import write_flo
@@ -47,16 +47,18 @@ def main():
 
     t0 = time.perf_counter()
     if args.pyramid or max(abs(tx), abs(ty)) > 2:
-        flow = hs_pyramid(
+        # One batch-2 solve: forward flow + backward leg for the mask.
+        flow, occ = flow_with_occlusion(
             jnp.asarray(i1), jnp.asarray(i2),
             HSConfig(alpha=0.1, iters=400), PyramidConfig(levels=3),
         )
     else:
         # Solve-to-tolerance: stop when the max update/block < 1e-4 px
         # instead of guessing an iteration count (iters = budget cap).
-        flow = hs_solve(jnp.asarray(i1), jnp.asarray(i2),
-                        HSConfig(alpha=0.1, iters=2000, tol=1e-4,
-                                 block_sweeps=50))
+        flow, occ = flow_with_occlusion(
+            jnp.asarray(i1), jnp.asarray(i2),
+            HSConfig(alpha=0.1, iters=2000, tol=1e-4, block_sweeps=50),
+        )
     f = np.stack([np.asarray(flow.u), np.asarray(flow.v)], axis=-1)
     dt = time.perf_counter() - t0
 
@@ -72,11 +74,6 @@ def main():
         f"(true {tx:+.2f}, {ty:+.2f}), residual {float(em.residual):.4f}"
     )
 
-    from opticalflowhs_tpu import flow_with_occlusion
-
-    _, occ = flow_with_occlusion(
-        jnp.asarray(i1), jnp.asarray(i2), HSConfig(alpha=0.1, iters=300)
-    )
     save_image(os.path.join(args.out, "occlusion.png"),
                np.asarray(occ).astype(np.float32))
     print(f"occlusion mask (fwd-bwd test): {100 * float(occ.mean()):.1f}% "

@@ -29,13 +29,21 @@ from opticalflowhs_tpu.pyramid import warp
 from opticalflowhs_tpu.solver import Flow
 
 
+def _warped_backward(fwd: Flow, bwd: Flow, method: str):
+    """The two bilinear warps (the only expensive ops here): backward flow
+    sampled at the forward targets. Shared by fb_error/occlusion_mask so
+    combined callers pay 2 warps, not 4 (under jit XLA CSEs them anyway)."""
+    bu = warp(bwd.u, fwd.u, fwd.v, method)
+    bv = warp(bwd.v, fwd.u, fwd.v, method)
+    return bu, bv
+
+
 def fb_error(fwd: Flow, bwd: Flow, method: str = "gather") -> jnp.ndarray:
     """|f_fwd(x) + f_bwd(x + f_fwd(x))| per pixel (H, W).
 
     `method` follows pyramid.warp ("gather" default: correct for arbitrary
     flows; "tiled" is faster for smooth flows)."""
-    bu = warp(bwd.u, fwd.u, fwd.v, method)
-    bv = warp(bwd.v, fwd.u, fwd.v, method)
+    bu, bv = _warped_backward(fwd, bwd, method)
     return jnp.sqrt((fwd.u + bu) ** 2 + (fwd.v + bv) ** 2)
 
 
@@ -48,8 +56,7 @@ def occlusion_mask(
 ) -> jnp.ndarray:
     """Boolean (H, W): True where the forward flow FAILS the
     forward-backward test — occluded or unreliable pixels."""
-    bu = warp(bwd.u, fwd.u, fwd.v, method)
-    bv = warp(bwd.v, fwd.u, fwd.v, method)
+    bu, bv = _warped_backward(fwd, bwd, method)
     err2 = (fwd.u + bu) ** 2 + (fwd.v + bv) ** 2
     mag2 = fwd.u**2 + fwd.v**2 + bu**2 + bv**2
     return err2 > a * mag2 + b
@@ -65,6 +72,14 @@ def solve_bidirectional(
     (both directions share every kernel launch)."""
     if i1.ndim != 2:
         raise ValueError(f"expected (H, W) frames, got {i1.shape}")
+    if cfg.solver == "sor" and cfg.omega == 0.0:
+        # Semantically a single pair: resolve the auto-omega sentinel here
+        # (the batched entry's single-pair-only guard would reject it).
+        import dataclasses
+
+        from opticalflowhs_tpu.solver import tune_omega
+
+        cfg = dataclasses.replace(cfg, omega=tune_omega(i1, i2, cfg))
     b1 = jnp.stack([i1, i2])
     b2 = jnp.stack([i2, i1])
     f = hs_solve_batched(b1, b2, cfg, pyr)

@@ -127,6 +127,31 @@ def hs_pyramid_tiled(
         raise ValueError(f"frame shapes differ: {i1.shape} vs {i2.shape}")
     if halo_sweeps < 1:
         raise ValueError("halo_sweeps must be >= 1")
+    if cfg.solver == "multigrid":
+        # The tile body has no V-cycle branch; a 1-level "pyramid" IS the
+        # tiled solve, which has a GSPMD multigrid route.
+        if pyr.levels == 1 and i1.ndim == 2:
+            from opticalflowhs_tpu.dist.tiled_solver import hs_solve_tiled
+
+            return hs_solve_tiled(i1, i2, cfg, mesh=mesh)
+        raise ValueError(
+            "tiled multigrid supports single pairs at levels=1 (the "
+            "V-cycle is itself a multi-resolution scheme — use "
+            "pyramid.levels=1, or solver='sor' for the tiled pyramid)"
+        )
+    if cfg.solver == "sor" and cfg.omega == 0.0:
+        # omega=0 is the identity update — resolve the auto sentinel here
+        # exactly as hs_pyramid does (single pairs), or reject stacks.
+        if i1.ndim != 2:
+            raise ValueError(
+                "omega=0 (auto) is single-pair only — call "
+                "solver.tune_omega on a representative pair"
+            )
+        import dataclasses
+
+        from opticalflowhs_tpu.solver import tune_omega
+
+        cfg = dataclasses.replace(cfg, omega=tune_omega(i1, i2, cfg))
     min_side = min(i1.shape[-2:])
     if min_side // (2 ** (pyr.levels - 1)) < 8:
         raise ValueError(

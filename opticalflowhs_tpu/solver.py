@@ -271,7 +271,16 @@ def tune_omega(
     default; at alpha=1 the converged estimate 1.84 matches 1.9 from 120
     sweeps up (at starvation budgets on stiff problems a hand-picked 1.9
     still edges it — but alpha=1 is multigrid's regime anyway)."""
-    rho = float(_jacobi_rho_impl(i1, i2, cfg, power_iters))
+    import dataclasses
+
+    # rho depends only on (alpha, deriv_variant, dtype); normalize every
+    # other field so e.g. checkpoint segments with different iters reuse
+    # the compiled power loop (compiles are minutes on the real chip).
+    key_cfg = dataclasses.replace(
+        HSConfig(), alpha=cfg.alpha, deriv_variant=cfg.deriv_variant,
+        dtype=cfg.dtype,
+    )
+    rho = float(_jacobi_rho_impl(i1, i2, key_cfg, power_iters))
     rho = min(rho, 0.9999)
     omega = 2.0 / (1.0 + (1.0 - rho * rho) ** 0.5)
     return round(max(1.0, min(omega, 1.98)), 2)

@@ -34,19 +34,13 @@ def _chunked_with_overlap(frames: Iterable[np.ndarray], chunk: int):
         yield np.stack(buf)
 
 
-def flow_stream(
-    frames: Union[np.ndarray, Iterable[np.ndarray]],
-    cfg: HSConfig = HSConfig(),
-    pyr: Optional[PyramidConfig] = None,
-    chunk: int = 8,
-) -> Iterator[Flow]:
-    """Stream dense flow over a video, yielding one batched Flow per chunk.
-
-    `frames`: (T, H, W) array or an iterator of (H, W) frames (the iterator
-    form is what a camera/decoder feed looks like). Yields Flow with leading
-    axis = pairs in the chunk; results are device arrays — the consumer
-    chooses when to sync, keeping the pipeline free-running.
-    """
+def _prefetched_windows(
+    frames: Union[np.ndarray, Iterable[np.ndarray]], chunk: int
+) -> Iterator[jnp.ndarray]:
+    """The P6 pipeline core, shared by every stream variant: yield device-
+    resident (chunk+1)-frame windows, issuing the NEXT window's host->HBM
+    transfer before the current one is consumed so async dispatch overlaps
+    it with the consumer's solve."""
     if chunk < 1:
         raise ValueError("chunk must be >= 1")
     if isinstance(frames, (np.ndarray, jnp.ndarray)):
@@ -60,9 +54,24 @@ def flow_stream(
     while dev_next is not None:
         cur = dev_next
         nxt = next(windows, None)
-        # Issue the next host->HBM transfer before touching cur's solve:
-        # async dispatch overlaps it with this chunk's compute (P6).
         dev_next = jax.device_put(nxt) if nxt is not None else None
+        yield cur
+
+
+def flow_stream(
+    frames: Union[np.ndarray, Iterable[np.ndarray]],
+    cfg: HSConfig = HSConfig(),
+    pyr: Optional[PyramidConfig] = None,
+    chunk: int = 8,
+) -> Iterator[Flow]:
+    """Stream dense flow over a video, yielding one batched Flow per chunk.
+
+    `frames`: (T, H, W) array or an iterator of (H, W) frames (the iterator
+    form is what a camera/decoder feed looks like). Yields Flow with leading
+    axis = pairs in the chunk; results are device arrays — the consumer
+    chooses when to sync, keeping the pipeline free-running.
+    """
+    for cur in _prefetched_windows(frames, chunk):
         yield hs_solve_batched(cur[:-1], cur[1:], cfg, pyr)
 
 
@@ -86,21 +95,8 @@ def flow_stream_occlusion(
 
     from opticalflowhs_tpu.consistency import occlusion_mask
 
-    if chunk < 1:
-        raise ValueError("chunk must be >= 1")
-    if isinstance(frames, (np.ndarray, jnp.ndarray)):
-        if frames.ndim != 3:
-            raise ValueError(f"expected (T, H, W) video, got {frames.shape}")
-        frames = iter(frames)
-
     mask_fn = jax.jit(jax.vmap(partial(occlusion_mask, a=a, b=b)))
-    windows = _chunked_with_overlap(frames, chunk)
-    nxt = next(windows, None)
-    dev_next = jax.device_put(nxt) if nxt is not None else None
-    while dev_next is not None:
-        cur = dev_next
-        nxt = next(windows, None)
-        dev_next = jax.device_put(nxt) if nxt is not None else None
+    for cur in _prefetched_windows(frames, chunk):
         n = cur.shape[0] - 1
         f = hs_solve_batched(
             jnp.concatenate([cur[:-1], cur[1:]]),

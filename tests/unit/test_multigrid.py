@@ -168,6 +168,25 @@ def test_tiled_multigrid_odd_shape_and_tol():
     assert float(jnp.abs(ftt.u - ftf.u).max()) == 0.0
 
 
+def test_pyramid_tiled_routes_multigrid():
+    """Regression: the CLI --mesh route (hs_pyramid_tiled) must run REAL
+    V-cycles for solver='multigrid' at levels=1 (it silently ran plain
+    Jacobi sweeps before), and reject multi-level pyramids."""
+    from opticalflowhs_tpu.config import MeshConfig, PyramidConfig
+    from opticalflowhs_tpu.data.synthetic import translation_pair
+    from opticalflowhs_tpu.dist import hs_pyramid_tiled, make_mesh
+
+    i1, i2, _ = translation_pair(64, 96, 1.0, 0.0, key=3)
+    i1, i2 = jnp.asarray(i1), jnp.asarray(i2)
+    mesh = make_mesh(MeshConfig(batch=1, y=2, x=2))
+    cfg = HSConfig(alpha=1.0, iters=2, solver="multigrid", backend="jnp")
+    ft = hs_pyramid_tiled(i1, i2, cfg, PyramidConfig(levels=1), mesh=mesh)
+    fu = hs_solve(i1, i2, cfg)
+    assert float(jnp.abs(ft.u - fu.u).max()) <= 5e-6
+    with pytest.raises(ValueError, match="levels"):
+        hs_pyramid_tiled(i1, i2, cfg, PyramidConfig(levels=3), mesh=mesh)
+
+
 def test_tiled_multigrid_guards():
     from opticalflowhs_tpu.config import MeshConfig
     from opticalflowhs_tpu.dist import make_mesh

@@ -58,6 +58,36 @@ def test_sentinel_equals_explicit(pair):
     assert float(jnp.abs(fa.u - fe.u).max()) == 0.0
 
 
+def test_pyramid_tiled_resolves_sentinel(pair):
+    """Regression: the tiled pyramid (CLI --mesh route) must tune, not run
+    identity sweeps (omega=0 in the SOR update u + omega*(un-u) is a
+    no-op that silently returned zero flow)."""
+    from opticalflowhs_tpu.config import MeshConfig, PyramidConfig
+    from opticalflowhs_tpu.dist import hs_pyramid_tiled, make_mesh
+
+    i1, i2, _ = pair
+    mesh = make_mesh(MeshConfig(batch=1, y=2, x=2))
+    cfg = HSConfig(alpha=0.1, iters=30, solver="sor", omega=0.0,
+                   backend="jnp")
+    f = hs_pyramid_tiled(i1, i2, cfg, PyramidConfig(levels=1), mesh=mesh)
+    assert float(jnp.abs(f.u).max()) > 0.1
+    # Batched stacks cannot tune on one pair: reject.
+    with pytest.raises(ValueError, match="single-pair"):
+        hs_pyramid_tiled(jnp.stack([i1, i1]), jnp.stack([i2, i2]), cfg,
+                         PyramidConfig(levels=1), mesh=mesh)
+
+
+def test_bidirectional_resolves_sentinel(pair):
+    from opticalflowhs_tpu.consistency import solve_bidirectional
+
+    i1, i2, _ = pair
+    cfg = HSConfig(alpha=0.1, iters=30, solver="sor", omega=0.0,
+                   backend="jnp")
+    fwd, bwd = solve_bidirectional(i1, i2, cfg)
+    assert float(jnp.abs(fwd.u).max()) > 0.1
+    assert float(jnp.abs(bwd.u).max()) > 0.1
+
+
 def test_guards(pair):
     i1, i2, _ = pair
     from opticalflowhs_tpu.batch import hs_solve_batched
