@@ -160,6 +160,12 @@ def _cmd_video(args, overrides):
         raise SystemExit(f"{args.frames}: expected a directory of frames")
     os.makedirs(args.output, exist_ok=True)
     pyr = rc.pyramid if rc.pyramid.levels > 1 else None
+    mesh = None
+    if rc.mesh.batch > 1:
+        # DP streaming: each chunk's pairs shard over the "batch" axis.
+        from opticalflowhs_tpu.dist import make_mesh
+
+        mesh = make_mesh(rc.mesh)
     em_file = None
     if args.egomotion:
         from opticalflowhs_tpu.egomotion import estimate_egomotion
@@ -173,11 +179,12 @@ def _cmd_video(args, overrides):
         stream = (
             (fl, np.asarray(m))
             for fl, m in flow_stream_occlusion(frames, rc.hs, pyr,
-                                               chunk=args.chunk)
+                                               chunk=args.chunk, mesh=mesh)
         )
     else:
         stream = ((fl, None) for fl in flow_stream(frames, rc.hs, pyr,
-                                                   chunk=args.chunk))
+                                                   chunk=args.chunk,
+                                                   mesh=mesh))
     try:
         for chunk, masks in stream:
             if em_file is not None:

@@ -63,6 +63,7 @@ def flow_stream(
     cfg: HSConfig = HSConfig(),
     pyr: Optional[PyramidConfig] = None,
     chunk: int = 8,
+    mesh=None,
 ) -> Iterator[Flow]:
     """Stream dense flow over a video, yielding one batched Flow per chunk.
 
@@ -70,9 +71,18 @@ def flow_stream(
     form is what a camera/decoder feed looks like). Yields Flow with leading
     axis = pairs in the chunk; results are device arrays — the consumer
     chooses when to sync, keeping the pipeline free-running.
+
+    `mesh`: shard each chunk's pairs over the mesh "batch" axis (DP
+    streaming, SURVEY.md §2b P1 x P6; chunk must be divisible by the
+    mesh's batch size).
     """
     for cur in _prefetched_windows(frames, chunk):
-        yield hs_solve_batched(cur[:-1], cur[1:], cfg, pyr)
+        # The stream's final (remainder) chunk may not divide the mesh's
+        # batch axis — run it unsharded rather than erroring at stream end.
+        m = mesh
+        if m is not None and (cur.shape[0] - 1) % m.shape["batch"]:
+            m = None
+        yield hs_solve_batched(cur[:-1], cur[1:], cfg, pyr, mesh=m)
 
 
 def flow_stream_occlusion(
@@ -82,6 +92,7 @@ def flow_stream_occlusion(
     chunk: int = 8,
     a: float = 0.01,
     b: float = 0.5,
+    mesh=None,
 ) -> Iterator[tuple[Flow, jnp.ndarray]]:
     """flow_stream plus per-pair occlusion masks: yields (forward Flow,
     boolean mask) per chunk.
@@ -98,10 +109,13 @@ def flow_stream_occlusion(
     mask_fn = jax.jit(jax.vmap(partial(occlusion_mask, a=a, b=b)))
     for cur in _prefetched_windows(frames, chunk):
         n = cur.shape[0] - 1
+        m = mesh
+        if m is not None and (2 * n) % m.shape["batch"]:
+            m = None
         f = hs_solve_batched(
             jnp.concatenate([cur[:-1], cur[1:]]),
             jnp.concatenate([cur[1:], cur[:-1]]),
-            cfg, pyr,
+            cfg, pyr, mesh=m,
         )
         fwd = Flow(f.u[:n], f.v[:n])
         bwd = Flow(f.u[n:], f.v[n:])
@@ -113,6 +127,7 @@ def flow_video(
     cfg: HSConfig = HSConfig(),
     pyr: Optional[PyramidConfig] = None,
     chunk: int = 8,
+    mesh=None,
 ) -> Flow:
     """Whole-video convenience: (T, H, W) frames -> (T-1, H, W) Flow.
 
@@ -122,7 +137,7 @@ def flow_video(
     streaming consumption, use flow_stream directly.
     """
     us, vs = [], []
-    for f in flow_stream(frames, cfg, pyr, chunk):
+    for f in flow_stream(frames, cfg, pyr, chunk, mesh=mesh):
         us.append(np.asarray(f.u))
         vs.append(np.asarray(f.v))
     return Flow(np.concatenate(us, axis=0), np.concatenate(vs, axis=0))

@@ -34,6 +34,26 @@ def test_flow_video_matches_batched():
     np.testing.assert_allclose(np.asarray(fv.v), np.asarray(fb.v), atol=1e-6)
 
 
+def test_flow_stream_mesh_dp_matches_unsharded():
+    """DP streaming: chunks sharded over the mesh 'batch' axis == the
+    unsharded stream, including a remainder chunk that does not divide
+    the mesh batch (which silently runs unsharded)."""
+    from opticalflowhs_tpu.dist import make_mesh
+    from opticalflowhs_tpu.video import flow_stream_occlusion
+
+    vid = _video(t=8)  # 7 pairs -> chunks of 4 + remainder 3
+    mesh = make_mesh(MeshConfig(batch=2, y=1, x=1))
+    fm = [f for f in flow_stream(vid, CFG, chunk=4, mesh=mesh)]
+    fu = [f for f in flow_stream(vid, CFG, chunk=4)]
+    assert len(fm) == len(fu) == 2
+    for a, b in zip(fm, fu):
+        np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u),
+                                   atol=1e-6)
+    # occlusion stream with mesh runs too
+    got = [m for _, m in flow_stream_occlusion(vid, CFG, chunk=4, mesh=mesh)]
+    assert sum(m.shape[0] for m in got) == 7
+
+
 def test_flow_stream_iterator_input():
     vid = _video(t=7)
     chunks = list(flow_stream(iter(list(vid)), CFG, chunk=3))
