@@ -8,6 +8,7 @@ printed timing. Subcommands here:
     hsflow eval middlebury ~/data/middlebury [--out results.json]
     hsflow bench [--shape 1024x1280] [--profile-dir DIR]
     hsflow viz in.flo -o flow.png [--needle]
+    hsflow selftest
     hsflow info
 
 Config flags are dotted overrides onto the frozen dataclasses (SURVEY.md
@@ -323,6 +324,79 @@ def _cmd_viz(args, _overrides):
     return 0
 
 
+def _cmd_selftest(args, overrides):
+    """On-device sanity suite for deployment validation: solve accuracy
+    vs analytic GT, kernel==oracle exactness, format roundtrip, and the
+    ego-motion fit — PASS/FAIL lines, exit 1 on any failure."""
+    import tempfile
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflowhs_tpu import HSConfig, hs_solve
+    from opticalflowhs_tpu.data.synthetic import translation_pair
+    from opticalflowhs_tpu.egomotion import estimate_egomotion
+    from opticalflowhs_tpu.io.flo import read_flo, write_flo
+    from opticalflowhs_tpu.metrics import epe, interior
+    from opticalflowhs_tpu.viz import flow_to_color
+
+    failures = 0
+
+    def check(name, ok, detail=""):
+        nonlocal failures
+        print(f"  [{'PASS' if ok else 'FAIL'}] {name}"
+              + (f" ({detail})" if detail else ""))
+        failures += 0 if ok else 1
+
+    print(f"selftest on backend={jax.default_backend()} "
+          f"({len(jax.devices())} device(s))")
+    h, w = (int(t) for t in args.shape.split("x"))
+    i1, i2, gt = translation_pair(h, w, 1.0, 0.5, key=3)
+    i1, i2 = jnp.asarray(i1), jnp.asarray(i2)
+
+    # 1. accuracy gate vs analytic ground truth
+    f = hs_solve(i1, i2, HSConfig(alpha=0.1, iters=args.iters))
+    fl = np.stack([np.asarray(f.u), np.asarray(f.v)], -1)
+    e = epe(interior(fl, 10), interior(gt, 10))
+    check("EPE vs analytic GT < 0.08", e < 0.08, f"EPE {e:.4f}")
+    check("flow finite", bool(np.isfinite(fl).all()))
+
+    # 2. kernel == jnp oracle on THIS device
+    cfg = dict(alpha=0.5, iters=30)
+    fp = hs_solve(i1, i2, HSConfig(backend="pallas", **cfg))
+    fj = hs_solve(i1, i2, HSConfig(backend="jnp", **cfg))
+    d = max(float(jnp.abs(fp.u - fj.u).max()),
+            float(jnp.abs(fp.v - fj.v).max()))
+    check("pallas == jnp oracle <= 2e-5", d <= 2e-5, f"max diff {d:.2e}")
+
+    # 3. solver variants produce consistent flow
+    fs = hs_solve(i1, i2, HSConfig(alpha=0.1, iters=max(args.iters // 8, 20),
+                                   solver="sor", omega=1.5))
+    fsl = np.stack([np.asarray(fs.u), np.asarray(fs.v)], -1)
+    es = epe(interior(fsl, 10), interior(gt, 10))
+    check("SOR EPE < 0.1", es < 0.1, f"EPE {es:.4f}")
+
+    # 4. .flo roundtrip + viz
+    with tempfile.TemporaryDirectory() as td:
+        import os as _os
+
+        p = _os.path.join(td, "t.flo")
+        write_flo(p, fl)
+        check(".flo roundtrip bitwise", bool(np.array_equal(read_flo(p), fl)))
+    img = flow_to_color(fl)
+    check("color wheel non-trivial", int(np.asarray(img).std()) > 0)
+
+    # 5. ego-motion recovers the translation
+    em = estimate_egomotion(f)
+    check("egomotion tx ~ 1.0", abs(float(em.tx) - 1.0) < 0.2,
+          f"tx {float(em.tx):+.3f}")
+
+    print(("OK: all checks passed" if failures == 0
+           else f"FAILED: {failures} check(s)"))
+    return 0 if failures == 0 else 1
+
+
 def _cmd_info(_args, _overrides):
     import jax
 
@@ -403,6 +477,15 @@ def main(argv=None) -> int:
 
     pi = sub.add_parser("info", help="device/runtime info")
     pi.set_defaults(fn=_cmd_info)
+
+    ps = sub.add_parser(
+        "selftest",
+        help="on-device sanity suite (accuracy gate, kernel==oracle, "
+             "formats, ego-motion); exit 1 on failure",
+    )
+    ps.add_argument("--shape", default="128x192")
+    ps.add_argument("--iters", type=int, default=800)
+    ps.set_defaults(fn=_cmd_selftest)
 
     args = p.parse_args(argv)
     return args.fn(args, overrides)

@@ -122,6 +122,13 @@ def test_cli_occlusion(tmp_path, pair_files, capsys):
     assert "% flagged" in capsys.readouterr().out
 
 
+def test_cli_selftest(capsys):
+    rc = cli_main(["selftest", "--shape", "64x80", "--iters", "200"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "OK: all checks passed" in out
+
+
 def test_cli_info(capsys):
     assert cli_main(["info"]) == 0
     out = capsys.readouterr().out
