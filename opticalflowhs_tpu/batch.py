@@ -38,9 +38,11 @@ def _batched_solve_impl(
     ):
         import os
 
+        from opticalflowhs_tpu.solver import fused_solve_enabled
+
         if (
             cfg.tol == 0  # the fused pipeline bakes a fixed sweep schedule
-            and os.environ.get("HSFLOW_FUSED_SOLVE", "0") == "1"
+            and fused_solve_enabled(cfg.iters, batched=True)
             and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
         ):
             # Batched whole-solve fused pipeline (kernels/solve_fused.py):

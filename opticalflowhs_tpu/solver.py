@@ -40,6 +40,25 @@ def resolve_backend(backend: str) -> str:
     return backend
 
 
+def fused_solve_enabled(iters: int, batched: bool = False) -> bool:
+    """Route through the whole-solve fused pipeline (kernels/solve_fused.py)?
+
+    HSFLOW_FUSED_SOLVE: "1" forces on, "0" forces off; the default "auto"
+    enables it exactly where the hardware A/B won
+    (tools/hw_solve_fused_ab.py, TPU v5e, 2026-08-18): single-frame
+    solves with a deep sweep schedule — 1080p i100 37.9 vs 37.0 and
+    4K i100 45.1 vs 39.7 Gpx·sweeps/s — and leaves it off where it lost:
+    shallow schedules (1080p i20 −4.8%), 8K i50 (−1.8%), and batched
+    stacks (B2×1080p 36.1 fused vs 48.5 on the batched-banded kernel).
+    """
+    import os
+
+    mode = os.environ.get("HSFLOW_FUSED_SOLVE", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return not batched and iters >= 64
+
+
 def precompute(i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig):
     """Derivatives + hoisted 1/(alpha^2 + Ex^2 + Ey^2) (SURVEY.md §3.2).
 
@@ -191,9 +210,7 @@ def _hs_solve_impl(
         cfg.solver == "jacobi"
         and cfg.tol == 0  # the fused pipeline bakes a fixed sweep schedule
         and resolve_backend(cfg.backend) == "pallas"
-        and os.environ.get("HSFLOW_FUSED_SOLVE", "0") == "1"  # default off
-        # until hardware-validated (tools/hw_solve_fused_ab.py; the axon
-        # compile helper went down mid-validation this session)
+        and fused_solve_enabled(cfg.iters)
         and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
     ):
         # Whole-solve fused pipeline (kernels/solve_fused.py): derivatives +

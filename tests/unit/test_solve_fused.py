@@ -130,6 +130,23 @@ def test_solver_routing(small_budget, monkeypatch):
     assert float(jnp.abs(fp.v - fj.v).max()) <= TOL
 
 
+def test_fused_auto_default(monkeypatch):
+    """auto (default) routes single-frame deep schedules only; "0"/"1"
+    force. Thresholds per the hardware A/B (tools/hw_solve_fused_ab.py)."""
+    from opticalflowhs_tpu.solver import fused_solve_enabled
+
+    monkeypatch.delenv("HSFLOW_FUSED_SOLVE", raising=False)
+    assert fused_solve_enabled(100)
+    assert fused_solve_enabled(64)
+    assert not fused_solve_enabled(20)
+    assert not fused_solve_enabled(100, batched=True)
+    monkeypatch.setenv("HSFLOW_FUSED_SOLVE", "0")
+    assert not fused_solve_enabled(100)
+    monkeypatch.setenv("HSFLOW_FUSED_SOLVE", "1")
+    assert fused_solve_enabled(20)
+    assert fused_solve_enabled(100, batched=True)
+
+
 def test_batched_matches_oracle(small_budget, monkeypatch):
     import opticalflowhs_tpu.kernels.jacobi as jk
 
