@@ -16,16 +16,24 @@ Layer map (SURVEY.md §1b):
   T6 io/, metrics, viz, cli — formats, metrics, visualization, entry points
 """
 
-from opticalflowhs_tpu.config import HSConfig, PyramidConfig, MeshConfig, RunConfig
+from opticalflowhs_tpu.config import (
+    HSConfig,
+    LKConfig,
+    MeshConfig,
+    PyramidConfig,
+    RunConfig,
+)
 from opticalflowhs_tpu.solver import Flow, hs_solve
 from opticalflowhs_tpu.pyramid import hs_pyramid
 from opticalflowhs_tpu.batch import hs_solve_batched
 from opticalflowhs_tpu.consistency import flow_with_occlusion
+from opticalflowhs_tpu.lucas_kanade import lk_solve, lk_solve_batched
 
 __version__ = "0.1.0"
 
 __all__ = [
     "HSConfig",
+    "LKConfig",
     "PyramidConfig",
     "MeshConfig",
     "RunConfig",
@@ -33,6 +41,8 @@ __all__ = [
     "hs_solve",
     "hs_solve_batched",
     "hs_pyramid",
+    "lk_solve",
+    "lk_solve_batched",
     "flow_with_occlusion",
     "__version__",
 ]

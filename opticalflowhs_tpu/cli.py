@@ -34,7 +34,7 @@ def _split_overrides(argv):
         if a.startswith("--") and "." in a:
             key = a[2:]
             sect = key.split(".", 1)[0]
-            if sect in ("cfg", "hs", "pyramid", "mesh"):
+            if sect in ("cfg", "hs", "pyramid", "mesh", "lk"):
                 if "=" in key:
                     key, val = key.split("=", 1)
                 else:
@@ -67,12 +67,20 @@ def _cmd_run(args, overrides):
     from opticalflowhs_tpu.viz import flow_to_color, needle_plot
 
     rc = _build_config(args, overrides)
+    method = args.method or rc.method
     i1 = jnp.asarray(load_gray(args.frame1))
     i2 = jnp.asarray(load_gray(args.frame2))
     t0 = time.perf_counter()
     tiled = rc.mesh.y * rc.mesh.x > 1
     occ = None
-    if args.occlusion:
+    if method == "lk":
+        if args.occlusion or tiled:
+            raise SystemExit("--method lk supports neither --occlusion nor "
+                             "mesh tiling yet (drop the flag)")
+        from opticalflowhs_tpu.lucas_kanade import lk_solve
+
+        flow = lk_solve(i1, i2, rc.lk, rc.pyramid)
+    elif args.occlusion:
         if tiled:
             raise SystemExit("--occlusion is not yet wired to mesh runs "
                              "(drop --mesh.* or the flag)")
@@ -94,9 +102,13 @@ def _cmd_run(args, overrides):
         flow = hs_pyramid(i1, i2, rc.hs, rc.pyramid)
     f = np.stack([np.asarray(flow.u), np.asarray(flow.v)], axis=-1)
     dt = time.perf_counter() - t0
+    detail = (
+        f"window={rc.lk.window} iters={rc.lk.iters}" if method == "lk"
+        else f"alpha={rc.hs.alpha} iters={rc.hs.iters} backend={rc.hs.backend}"
+    )
     print(
-        f"solved {i1.shape[1]}x{i1.shape[0]} flow: levels={rc.pyramid.levels} "
-        f"alpha={rc.hs.alpha} iters={rc.hs.iters} backend={rc.hs.backend} "
+        f"solved {i1.shape[1]}x{i1.shape[0]} {method} flow: "
+        f"levels={rc.pyramid.levels} {detail} "
         + (f"mesh={rc.mesh.y}x{rc.mesh.x} " if tiled else "")
         + f"in {dt * 1e3:.1f} ms (incl. compile on first run)"
     )
@@ -252,14 +264,22 @@ def _cmd_eval(args, overrides):
     else:
         samples = ds
 
+    method = args.method or rc.method
     tiled = rc.mesh.y * rc.mesh.x > 1
     if tiled:
         from opticalflowhs_tpu.dist import hs_pyramid_tiled, make_mesh
 
         mesh = make_mesh(rc.mesh)
+    if method == "lk":
+        if tiled:
+            raise SystemExit("--method lk does not support mesh tiling yet")
+        from opticalflowhs_tpu.lucas_kanade import lk_solve
 
     def solve(f1, f2):
-        if tiled:
+        if method == "lk":
+            flow = lk_solve(jnp.asarray(f1), jnp.asarray(f2), rc.lk,
+                            rc.pyramid)
+        elif tiled:
             flow = hs_pyramid_tiled(
                 jnp.asarray(f1), jnp.asarray(f2), rc.hs, rc.pyramid,
                 mesh=mesh, halo_sweeps=rc.mesh.halo_sweeps,
@@ -283,8 +303,9 @@ def _cmd_eval(args, overrides):
               f"{row['n']:>4d}")
     a = table["ALL"]
     print(f"{'ALL':<{width}}  {a['epe']:>8.4f}  {a['ae']:>8.3f}  {a['n']:>4d}"
-          f"   ({dt:.1f}s, levels={rc.pyramid.levels} alpha={rc.hs.alpha} "
-          f"iters={rc.hs.iters} tol={rc.hs.tol})")
+          f"   ({dt:.1f}s, method={method} levels={rc.pyramid.levels} "
+          + (f"window={rc.lk.window} iters={rc.lk.iters})" if method == "lk"
+             else f"alpha={rc.hs.alpha} iters={rc.hs.iters} tol={rc.hs.tol})"))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(table, f, indent=2)
@@ -423,6 +444,9 @@ def main(argv=None) -> int:
     pr.add_argument("-o", "--output", help=".flo output path")
     pr.add_argument("--viz", help="color-wheel PNG output path")
     pr.add_argument("--needle", help="needle-plot PNG output path")
+    pr.add_argument("--method", choices=["hs", "lk"], default=None,
+                    help="flow model family: hs (Horn-Schunck, default) or "
+                         "lk (dense pyramidal Lucas-Kanade)")
     pr.add_argument("--egomotion", action="store_true",
                     help="print the 4-param rigid+zoom ego-motion fit + FOE")
     pr.add_argument("--occlusion", metavar="PNG",
@@ -455,6 +479,8 @@ def main(argv=None) -> int:
                     help="KITTI GT directory (flow_occ or flow_noc)")
     pe.add_argument("--render-pass", default="clean",
                     help="Sintel render pass (clean or final)")
+    pe.add_argument("--method", choices=["hs", "lk"], default=None,
+                    help="flow model family (default: config's, hs)")
     pe.set_defaults(fn=_cmd_eval)
 
     pb = sub.add_parser("bench", help="benchmark harness (SURVEY.md §6 metrics)")

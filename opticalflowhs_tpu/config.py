@@ -106,6 +106,37 @@ class PyramidConfig:
 
 
 @dataclass(frozen=True)
+class LKConfig:
+    """Dense pyramidal Lucas-Kanade configuration (lucas_kanade.py) — the
+    second model family; a strict extension beyond the reference's HS."""
+
+    window: int = 15            # odd box-window side for the local least squares
+    iters: int = 3              # warp-refine Newton steps per pyramid level
+    eps: float = 1e-3           # Tikhonov diagonal regularization of the 2x2
+                                # structure tensor (textureless windows)
+    dtype: str = "float32"
+    max_step: float = 0.0       # > 0: clamp each refinement's |du|,|dv| (px);
+                                # 0 = unclamped
+    smooth: bool = True         # binomial-blur the flow between refinements
+                                # (bounds LK's noise amplification — measured
+                                # in lucas_kanade.py::_lk_level)
+    # Warp lowering, as PyramidConfig.warp: tiled | gather | auto (= tiled).
+    warp: str = "auto"
+
+    def __post_init__(self):
+        if self.window < 3 or self.window % 2 == 0:
+            raise ValueError("window must be odd and >= 3")
+        if self.iters < 1:
+            raise ValueError("iters must be >= 1")
+        if self.eps <= 0:
+            raise ValueError("eps must be > 0")
+        if self.max_step < 0:
+            raise ValueError("max_step must be >= 0 (0 = unclamped)")
+        if self.warp not in ("auto", "tiled", "gather"):
+            raise ValueError("warp must be auto|tiled|gather")
+
+
+@dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh configuration for the distributed tiled solver (SURVEY.md §2b)."""
 
@@ -136,9 +167,16 @@ class RunConfig:
     hs: HSConfig = HSConfig()
     pyramid: PyramidConfig = PyramidConfig(levels=1)
     mesh: MeshConfig = MeshConfig()
+    lk: LKConfig = LKConfig()
+    method: str = "hs"          # flow model family: hs | lk
+
+    def __post_init__(self):
+        if self.method not in ("hs", "lk"):
+            raise ValueError("method must be hs|lk")
 
 
-_SECTIONS = {"hs": HSConfig, "pyramid": PyramidConfig, "mesh": MeshConfig}
+_SECTIONS = {"hs": HSConfig, "pyramid": PyramidConfig, "mesh": MeshConfig,
+             "lk": LKConfig}
 
 
 def _coerce(cls: type, field_name: str, value: Any) -> Any:
@@ -152,6 +190,12 @@ def _coerce(cls: type, field_name: str, value: Any) -> Any:
             return int(value)
         if ftype in ("float", float):
             return float(value)
+        if ftype in ("bool", bool):
+            if value.lower() in ("1", "true", "yes", "on"):
+                return True
+            if value.lower() in ("0", "false", "no", "off"):
+                return False
+            raise ValueError(f"cannot parse boolean from {value!r}")
         if "Tuple" in str(ftype) or isinstance(current, tuple):
             if value.strip() == "":
                 return ()
@@ -167,14 +211,21 @@ def load_config(path: str | None = None, overrides: dict[str, Any] | None = None
     Overrides use dotted keys: {"hs.alpha": 0.5, "mesh.y": 2}.
     """
     data: dict[str, dict[str, Any]] = {k: {} for k in _SECTIONS}
+    method = "hs"
     if path is not None:
         with open(path) as f:
             loaded = json.load(f)
         for sect, vals in loaded.items():
+            if sect == "method":
+                method = vals
+                continue
             if sect not in _SECTIONS:
                 raise KeyError(f"unknown config section '{sect}'")
             data[sect].update(vals)
     for key, value in (overrides or {}).items():
+        if key == "method":
+            method = value
+            continue
         if "." not in key:
             raise KeyError(f"override '{key}' must be dotted, e.g. hs.alpha")
         sect, field_name = key.split(".", 1)
@@ -185,6 +236,8 @@ def load_config(path: str | None = None, overrides: dict[str, Any] | None = None
         hs=HSConfig(**data["hs"]),
         pyramid=PyramidConfig(**data["pyramid"]),
         mesh=MeshConfig(**data["mesh"]),
+        lk=LKConfig(**data["lk"]),
+        method=method,
     )
 
 
