@@ -74,12 +74,19 @@ def _cmd_run(args, overrides):
     tiled = rc.mesh.y * rc.mesh.x > 1
     occ = None
     if method == "lk":
-        if args.occlusion or tiled:
-            raise SystemExit("--method lk supports neither --occlusion nor "
-                             "mesh tiling yet (drop the flag)")
-        from opticalflowhs_tpu.lucas_kanade import lk_solve
+        if args.occlusion:
+            raise SystemExit("--method lk does not support --occlusion yet "
+                             "(drop the flag)")
+        if tiled:
+            from opticalflowhs_tpu.dist import make_mesh
+            from opticalflowhs_tpu.lucas_kanade import lk_solve_tiled
 
-        flow = lk_solve(i1, i2, rc.lk, rc.pyramid)
+            flow = lk_solve_tiled(i1, i2, rc.lk, rc.pyramid,
+                                  mesh=make_mesh(rc.mesh))
+        else:
+            from opticalflowhs_tpu.lucas_kanade import lk_solve
+
+            flow = lk_solve(i1, i2, rc.lk, rc.pyramid)
     elif args.occlusion:
         if tiled:
             raise SystemExit("--occlusion is not yet wired to mesh runs "
@@ -150,6 +157,10 @@ def _cmd_video(args, overrides):
     from opticalflowhs_tpu.viz import flow_to_color
 
     rc = _build_config(args, overrides)
+    method = args.method or rc.method
+    if method == "lk" and args.occlusion:
+        raise SystemExit("--method lk video does not support --occlusion "
+                         "yet (drop the flag)")
     if os.path.isdir(args.frames):
         paths = sorted(
             os.path.join(args.frames, p)
@@ -195,9 +206,9 @@ def _cmd_video(args, overrides):
                                                chunk=args.chunk, mesh=mesh)
         )
     else:
-        stream = ((fl, None) for fl in flow_stream(frames, rc.hs, pyr,
-                                                   chunk=args.chunk,
-                                                   mesh=mesh))
+        stream = ((fl, None) for fl in flow_stream(
+            frames, rc.hs, pyr, chunk=args.chunk, mesh=mesh,
+            lk=rc.lk if method == "lk" else None))
     try:
         for chunk, masks in stream:
             if em_file is not None:
@@ -271,14 +282,16 @@ def _cmd_eval(args, overrides):
 
         mesh = make_mesh(rc.mesh)
     if method == "lk":
-        if tiled:
-            raise SystemExit("--method lk does not support mesh tiling yet")
-        from opticalflowhs_tpu.lucas_kanade import lk_solve
+        from opticalflowhs_tpu.lucas_kanade import lk_solve, lk_solve_tiled
 
     def solve(f1, f2):
         if method == "lk":
-            flow = lk_solve(jnp.asarray(f1), jnp.asarray(f2), rc.lk,
-                            rc.pyramid)
+            if tiled:
+                flow = lk_solve_tiled(jnp.asarray(f1), jnp.asarray(f2),
+                                      rc.lk, rc.pyramid, mesh=mesh)
+            else:
+                flow = lk_solve(jnp.asarray(f1), jnp.asarray(f2), rc.lk,
+                                rc.pyramid)
         elif tiled:
             flow = hs_pyramid_tiled(
                 jnp.asarray(f1), jnp.asarray(f2), rc.hs, rc.pyramid,
@@ -460,6 +473,8 @@ def main(argv=None) -> int:
     pv.add_argument("-o", "--output", required=True, help="output directory")
     pv.add_argument("--viz", action="store_true", help="also write PNGs")
     pv.add_argument("--chunk", type=int, default=8)
+    pv.add_argument("--method", choices=["hs", "lk"], default=None,
+                    help="flow model family (default: config's, hs)")
     pv.add_argument("--egomotion", action="store_true",
                     help="write per-pair ego-motion fits to egomotion.jsonl")
     pv.add_argument("--occlusion", action="store_true",

@@ -102,11 +102,15 @@ def _lk_level(i1, i2, u, v, cfg: LKConfig, iters: int):
 
 
 def _lk_pyramid_body(
-    i1: jnp.ndarray, i2: jnp.ndarray, cfg: LKConfig, pyr: PyramidConfig
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    cfg: LKConfig,
+    pyr: PyramidConfig,
+    constrain=lambda a: a,
 ) -> Flow:
     dtype = jnp.dtype(cfg.dtype)
-    p1 = gaussian_pyramid(i1.astype(dtype), pyr.levels)
-    p2 = gaussian_pyramid(i2.astype(dtype), pyr.levels)
+    p1 = [constrain(f) for f in gaussian_pyramid(i1.astype(dtype), pyr.levels)]
+    p2 = [constrain(f) for f in gaussian_pyramid(i2.astype(dtype), pyr.levels)]
     iters: Sequence[int] = pyr.iters_per_level or (cfg.iters,) * pyr.levels
 
     flow: Optional[Flow] = None
@@ -117,9 +121,9 @@ def _lk_pyramid_body(
             v = jnp.zeros_like(f1)
         else:
             flow = upsample_flow(flow, f1.shape[-2:])
-            u, v = flow.u, flow.v
+            u, v = constrain(flow.u), constrain(flow.v)
         u, v = _lk_level(f1, f2, u, v, cfg, iters[level])
-        flow = Flow(u, v)
+        flow = Flow(constrain(u), constrain(v))
     return flow
 
 
@@ -162,14 +166,60 @@ def _lk_batched_impl(i1, i2, cfg: LKConfig, pyr: PyramidConfig) -> Flow:
     return jax.vmap(lambda a, b: _lk_pyramid_body(a, b, cfg, pyr))(i1, i2)
 
 
+@partial(jax.jit, static_argnames=("cfg", "pyr", "mesh"))
+def _lk_tiled_impl(i1, i2, cfg: LKConfig, pyr: PyramidConfig, mesh) -> Flow:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = NamedSharding(mesh, P("y", "x"))
+
+    def constrain(a):
+        return jax.lax.with_sharding_constraint(a, spec)
+
+    return _lk_pyramid_body(constrain(i1), constrain(i2), cfg, pyr, constrain)
+
+
+def lk_solve_tiled(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    cfg: LKConfig = LKConfig(),
+    pyr: PyramidConfig = PyramidConfig(levels=1, iters_per_level=()),
+    mesh=None,
+) -> Flow:
+    """Spatially tiled LK over a ("y", "x") device mesh (SURVEY.md §2b P2).
+
+    LK has no per-sweep hot loop — each level is a handful of refinements
+    dominated by separable window sums and one warp — so the whole pyramid
+    distributes as GLOBAL jit ops under `with_sharding_constraint` per
+    level: GSPMD inserts the halo collectives for the stencil/window ops
+    itself, exactly like the cold per-level ops of dist/pyramid_tiled.py.
+    The arithmetic is byte-identical to the untiled path (same functions),
+    so tiled == untiled to float tolerance at any mesh shape.
+    """
+    if i1.ndim != 2:
+        raise ValueError("lk_solve_tiled takes single 2-D grayscale frames")
+    if i1.shape != i2.shape:
+        raise ValueError(f"frame shapes differ: {i1.shape} vs {i2.shape}")
+    if mesh is None:
+        raise ValueError("lk_solve_tiled requires a mesh (use lk_solve)")
+    return _lk_tiled_impl(i1, i2, cfg, pyr, mesh)
+
+
 def lk_solve_batched(
     i1: jnp.ndarray,
     i2: jnp.ndarray,
     cfg: LKConfig = LKConfig(),
     pyr: PyramidConfig = PyramidConfig(levels=1, iters_per_level=()),
+    mesh=None,
 ) -> Flow:
     """LK over a (B, H, W) stack of frame pairs (vmap inside jit — pure
-    data parallelism, shardable over a "batch" mesh axis like batch.py)."""
+    data parallelism). With `mesh`, the stack shards over its "batch" axis
+    first so GSPMD runs each chip's lanes locally, exactly as batch.py."""
     if i1.ndim != 3:
         raise ValueError(f"expected (B, H, W) frame stacks, got {i1.shape}")
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("batch", None, None))
+        i1 = jax.device_put(i1, sharding)
+        i2 = jax.device_put(i2, sharding)
     return _lk_batched_impl(i1, i2, cfg, pyr)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from opticalflowhs_tpu.batch import hs_solve_batched
-from opticalflowhs_tpu.config import HSConfig, PyramidConfig
+from opticalflowhs_tpu.config import HSConfig, LKConfig, PyramidConfig
 from opticalflowhs_tpu.solver import Flow
 
 
@@ -64,6 +64,7 @@ def flow_stream(
     pyr: Optional[PyramidConfig] = None,
     chunk: int = 8,
     mesh=None,
+    lk: Optional[LKConfig] = None,
 ) -> Iterator[Flow]:
     """Stream dense flow over a video, yielding one batched Flow per chunk.
 
@@ -75,14 +76,26 @@ def flow_stream(
     `mesh`: shard each chunk's pairs over the mesh "batch" axis (DP
     streaming, SURVEY.md §2b P1 x P6; chunk must be divisible by the
     mesh's batch size).
+
+    `lk`: solve with the Lucas-Kanade family instead of HS (`cfg` is then
+    ignored); the prefetch pipeline and sharding are identical.
     """
+    if lk is not None:
+        from opticalflowhs_tpu.lucas_kanade import lk_solve_batched
+
+        lk_pyr = pyr if pyr is not None else PyramidConfig(
+            levels=1, iters_per_level=()
+        )
     for cur in _prefetched_windows(frames, chunk):
         # The stream's final (remainder) chunk may not divide the mesh's
         # batch axis — run it unsharded rather than erroring at stream end.
         m = mesh
         if m is not None and (cur.shape[0] - 1) % m.shape["batch"]:
             m = None
-        yield hs_solve_batched(cur[:-1], cur[1:], cfg, pyr, mesh=m)
+        if lk is not None:
+            yield lk_solve_batched(cur[:-1], cur[1:], lk, lk_pyr, mesh=m)
+        else:
+            yield hs_solve_batched(cur[:-1], cur[1:], cfg, pyr, mesh=m)
 
 
 def flow_stream_occlusion(
@@ -128,6 +141,7 @@ def flow_video(
     pyr: Optional[PyramidConfig] = None,
     chunk: int = 8,
     mesh=None,
+    lk: Optional[LKConfig] = None,
 ) -> Flow:
     """Whole-video convenience: (T, H, W) frames -> (T-1, H, W) Flow.
 
@@ -137,7 +151,7 @@ def flow_video(
     streaming consumption, use flow_stream directly.
     """
     us, vs = [], []
-    for f in flow_stream(frames, cfg, pyr, chunk, mesh=mesh):
+    for f in flow_stream(frames, cfg, pyr, chunk, mesh=mesh, lk=lk):
         us.append(np.asarray(f.u))
         vs.append(np.asarray(f.v))
     return Flow(np.concatenate(us, axis=0), np.concatenate(vs, axis=0))

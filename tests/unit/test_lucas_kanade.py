@@ -76,6 +76,22 @@ def test_batched_matches_singles():
         assert float(jnp.abs(fb.v[k] - fs.v).max()) <= 2e-5
 
 
+def test_flow_stream_lk_matches_batched():
+    """Streaming LK (video.flow_stream(lk=...)) == one batched LK solve."""
+    from opticalflowhs_tpu.video import flow_stream
+
+    rng = np.random.default_rng(19)
+    frames = jnp.asarray(rng.uniform(0, 1, (5, 48, 64)).astype(np.float32))
+    cfg = LKConfig(iters=2, window=9)
+    chunks = list(flow_stream(frames, lk=cfg, chunk=2))
+    u = jnp.concatenate([c.u for c in chunks])
+    v = jnp.concatenate([c.v for c in chunks])
+    ref = lk_solve_batched(frames[:-1], frames[1:], cfg)
+    assert u.shape == ref.u.shape
+    assert float(jnp.abs(u - ref.u).max()) <= 2e-5
+    assert float(jnp.abs(v - ref.v).max()) <= 2e-5
+
+
 def test_differentiable():
     i1, i2, _ = translation_pair(48, 64, 0.5, 0.0, key=11)
 
