@@ -34,7 +34,11 @@ BACKENDS = ("auto", "jnp", "pallas")
 #  - "multigrid": V-cycles with 4-color GS smoothing (multigrid.py); iters
 #    counts V-CYCLES (typical 1-5) — measured ~100x fewer sweep-equivalents
 #    than Jacobi to converged EPE at alpha=1 (tests/unit/test_multigrid.py).
-SOLVERS = ("jacobi", "sor", "multigrid")
+#  - "robust": Charbonnier-penalty HS minimized by IRLS / lagged diffusivity
+#    (robust.py) — data AND smoothness terms become sqrt(s^2+eps^2), keeping
+#    motion boundaries sharp where the quadratic model blurs them; iters
+#    counts inner Jacobi sweeps, weights refreeze every robust_update_every.
+SOLVERS = ("jacobi", "sor", "multigrid", "robust")
 
 
 @dataclass(frozen=True)
@@ -52,6 +56,11 @@ class HSConfig:
     solver: str = "jacobi"      # relaxation scheme (SOLVERS)
     omega: float = 1.9          # SOR over-relaxation factor, (0, 2);
                                 # 0 = auto-tune per problem (tune_omega)
+    robust_eps_d: float = 0.05  # Charbonnier eps of the data term (solver=
+                                # "robust"): residuals >> eps_d are outliers
+    robust_eps_s: float = 0.05  # Charbonnier eps of the smoothness term:
+                                # flow gradients >> eps_s are boundaries
+    robust_update_every: int = 20  # sweeps between IRLS weight refreezes
     tol: float = 0.0            # > 0: solve-to-tolerance — stop when the max
                                 # u/v update over a check block (block_sweeps
                                 # sweeps, or 1 V-cycle) drops below tol px;
@@ -79,6 +88,10 @@ class HSConfig:
             )
         if self.iters < 0:
             raise ValueError("iters must be >= 0")
+        if self.robust_eps_d <= 0 or self.robust_eps_s <= 0:
+            raise ValueError("robust_eps_d/robust_eps_s must be > 0")
+        if self.robust_update_every < 1:
+            raise ValueError("robust_update_every must be >= 1")
         if self.block_sweeps < 0:
             raise ValueError("block_sweeps must be >= 0 (0 = auto)")
 

@@ -111,6 +111,45 @@ def translation_pair(
     return synthetic_pair(height, width, WarpSpec.translation(tx, ty), key=key, **kw)
 
 
+def two_motion_pair(
+    height: int,
+    width: int,
+    t_left: tuple[float, float],
+    t_right: tuple[float, float],
+    key: int = 0,
+    n_waves: int = 12,
+    max_freq: float = 0.15,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Frame pair with a MOTION DISCONTINUITY: two independently translating
+    texture layers seen through a static vertical-split aperture (left half
+    moves t_left px, right half t_right). Because the aperture is fixed,
+    every pixel observes its own layer in both frames — the true flow is
+    exactly piecewise constant with a hard jump at the seam and no
+    occlusion ambiguity. This is the canonical stress case for quadratic
+    (HS) smoothness, which blurs the jump; robust penalties keep it sharp.
+    """
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
+    pa = _texture_params(key, n_waves, max_freq)
+    pb = _texture_params(key + 1000003, n_waves, max_freq)
+    mask = xs < (width / 2.0)
+
+    def frame(k):
+        la = _sample_texture(xs - k * t_left[0], ys - k * t_left[1], *pa)
+        lb = _sample_texture(xs - k * t_right[0], ys - k * t_right[1], *pb)
+        return np.where(mask, la, lb)
+
+    gt = np.where(
+        mask[..., None],
+        np.asarray(t_left, dtype=np.float64),
+        np.asarray(t_right, dtype=np.float64),
+    )
+    return (
+        frame(0).astype(np.float32),
+        frame(1).astype(np.float32),
+        gt.astype(np.float32),
+    )
+
+
 def synthetic_sequence(
     n_frames: int,
     height: int,

@@ -247,6 +247,41 @@ def _tiled_mg_impl(i1, i2, cfg: HSConfig, mesh: Mesh) -> Flow:
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _tiled_robust_impl(i1, i2, cfg: HSConfig, mesh: Mesh) -> Flow:
+    """Mesh-sharded Charbonnier IRLS (solver="robust"): GSPMD route, same
+    division of labor as _tiled_mg_impl — the sweep is elementwise + 4
+    shifts and the weight refreezes are global passes, so compiler-
+    scheduled halo collectives under sharding constraints reproduce the
+    single-device arithmetic exactly (robust.py is pure jnp)."""
+    from opticalflowhs_tpu.robust import robust_sweeps
+
+    spec = P("y", "x")
+    sh = NamedSharding(mesh, spec)
+    dtype = jnp.dtype(cfg.dtype)
+    a = lax.with_sharding_constraint(i1.astype(dtype), sh)
+    b = lax.with_sharding_constraint(i2.astype(dtype), sh)
+    ex, ey, et = stencils.derivatives(a, b, cfg.deriv_variant)
+    u = jnp.zeros_like(ex)
+    v = jnp.zeros_like(ex)
+    if cfg.tol > 0:
+        from opticalflowhs_tpu.solver import sweeps_until
+
+        flow = sweeps_until(
+            u, v, ex, ey, et, ex, cfg,  # inv_den unused by the override
+            run_block=lambda uu, vv, nn: robust_sweeps(
+                uu, vv, ex, ey, et, nn, cfg
+            ),
+        )
+        u, v = flow.u, flow.v
+    else:
+        u, v = robust_sweeps(u, v, ex, ey, et, cfg.iters, cfg)
+    return Flow(
+        lax.with_sharding_constraint(u, sh),
+        lax.with_sharding_constraint(v, sh),
+    )
+
+
 @partial(jax.jit,
          static_argnames=("cfg", "s", "mesh", "batched", "h", "w", "halo_impl"))
 def _tiled_impl(i1, i2, cfg: HSConfig, s: int, mesh: Mesh, batched: bool,
@@ -323,6 +358,17 @@ def hs_solve_tiled(
         # No pre-sharded device_put: with_sharding_constraint inside the
         # jit accepts uneven (odd H x W) shardings, device_put does not.
         return _tiled_mg_impl(i1, i2, cfg, mesh)
+    if cfg.solver == "robust":
+        # GSPMD route, as multigrid (see _tiled_robust_impl).
+        if i1.ndim != 2:
+            raise ValueError(
+                "tiled robust takes single (H, W) pairs (stack via "
+                "batch.hs_solve_batched on a 'batch'-sharded mesh instead)"
+            )
+        if halo_impl != "ppermute":
+            raise ValueError("tiled robust uses the GSPMD path; "
+                             "halo_impl does not apply")
+        return _tiled_robust_impl(i1, i2, cfg, mesh)
     if cfg.solver == "sor" and cfg.omega == 0.0:
         raise ValueError(
             "omega=0 (auto) is single-pair only — call solver.tune_omega on "

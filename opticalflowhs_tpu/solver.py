@@ -105,6 +105,14 @@ def sweeps(
 
         u, v = mg_sweeps(u, v, ex, ey, et, inv_den, n, cfg)
         return Flow(u, v)
+    if cfg.solver == "robust":
+        # Charbonnier IRLS (robust.py): jnp/XLA on every backend — the
+        # sweep is elementwise + 4 shifts, fully fused by XLA; a Pallas
+        # version would re-pay per-launch dispatch per weight block.
+        from opticalflowhs_tpu.robust import robust_sweeps
+
+        u, v = robust_sweeps(u, v, ex, ey, et, n, cfg)
+        return Flow(u, v)
     if cfg.solver == "sor":
         from opticalflowhs_tpu.kernels import sor as sor_kernels
 
