@@ -150,6 +150,35 @@ class LKConfig:
 
 
 @dataclass(frozen=True)
+class TVL1Config:
+    """TV-L1 flow configuration (tvl1.py) — the third model family (Zach,
+    Pock & Bischof 2007): L1 data term + total-variation prior, duality-based
+    alternation. A strict extension beyond the reference's quadratic HS."""
+
+    lambda_: float = 0.15       # data-term weight (higher = trust data more)
+    theta: float = 0.3          # quadratic-coupling relaxation parameter
+    tau: float = 0.25           # dual ascent step (stable for tau <= 1/4)
+    warps: int = 5              # warp-and-relinearize outer steps per level
+    iters: int = 30             # v/u alternations per warp iteration
+    median: bool = True         # 3x3 median of the flow after each warp
+                                # (the standard robustness upgrade, Sun et
+                                # al. 2010; pure sort network, no gathers)
+    dtype: str = "float32"
+    # Warp lowering, as PyramidConfig.warp: tiled | gather | auto (= tiled).
+    warp: str = "auto"
+
+    def __post_init__(self):
+        if self.lambda_ <= 0 or self.theta <= 0:
+            raise ValueError("lambda_ and theta must be > 0")
+        if not 0 < self.tau <= 0.25:
+            raise ValueError("tau must be in (0, 0.25] (Chambolle stability)")
+        if self.warps < 1 or self.iters < 1:
+            raise ValueError("warps and iters must be >= 1")
+        if self.warp not in ("auto", "tiled", "gather"):
+            raise ValueError("warp must be auto|tiled|gather")
+
+
+@dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh configuration for the distributed tiled solver (SURVEY.md §2b)."""
 
@@ -181,15 +210,16 @@ class RunConfig:
     pyramid: PyramidConfig = PyramidConfig(levels=1)
     mesh: MeshConfig = MeshConfig()
     lk: LKConfig = LKConfig()
-    method: str = "hs"          # flow model family: hs | lk
+    tvl1: TVL1Config = TVL1Config()
+    method: str = "hs"          # flow model family: hs | lk | tvl1
 
     def __post_init__(self):
-        if self.method not in ("hs", "lk"):
-            raise ValueError("method must be hs|lk")
+        if self.method not in ("hs", "lk", "tvl1"):
+            raise ValueError("method must be hs|lk|tvl1")
 
 
 _SECTIONS = {"hs": HSConfig, "pyramid": PyramidConfig, "mesh": MeshConfig,
-             "lk": LKConfig}
+             "lk": LKConfig, "tvl1": TVL1Config}
 
 
 def _coerce(cls: type, field_name: str, value: Any) -> Any:
@@ -250,6 +280,7 @@ def load_config(path: str | None = None, overrides: dict[str, Any] | None = None
         pyramid=PyramidConfig(**data["pyramid"]),
         mesh=MeshConfig(**data["mesh"]),
         lk=LKConfig(**data["lk"]),
+        tvl1=TVL1Config(**data["tvl1"]),
         method=method,
     )
 
