@@ -22,18 +22,21 @@ from opticalflowhs_tpu.config import (
     MeshConfig,
     PyramidConfig,
     RunConfig,
+    TVL1Config,
 )
 from opticalflowhs_tpu.solver import Flow, hs_solve
 from opticalflowhs_tpu.pyramid import hs_pyramid
 from opticalflowhs_tpu.batch import hs_solve_batched
 from opticalflowhs_tpu.consistency import flow_with_occlusion
 from opticalflowhs_tpu.lucas_kanade import lk_solve, lk_solve_batched
+from opticalflowhs_tpu.tvl1 import tvl1_solve, tvl1_solve_batched
 
 __version__ = "0.1.0"
 
 __all__ = [
     "HSConfig",
     "LKConfig",
+    "TVL1Config",
     "PyramidConfig",
     "MeshConfig",
     "RunConfig",
@@ -43,6 +46,8 @@ __all__ = [
     "hs_pyramid",
     "lk_solve",
     "lk_solve_batched",
+    "tvl1_solve",
+    "tvl1_solve_batched",
     "flow_with_occlusion",
     "__version__",
 ]

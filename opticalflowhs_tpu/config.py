@@ -155,16 +155,34 @@ class TVL1Config:
     Pock & Bischof 2007): L1 data term + total-variation prior, duality-based
     alternation. A strict extension beyond the reference's quadratic HS."""
 
-    lambda_: float = 0.15       # data-term weight (higher = trust data more)
+    lambda_: float = 0.15       # data-term weight (higher = trust data more),
+                                # in the IPOL [0,255]-intensity convention —
+                                # tvl1_solve jointly rescales the frame pair
+                                # to [0,255] internally, so this default is
+                                # correct for ANY input range
     theta: float = 0.3          # quadratic-coupling relaxation parameter
     tau: float = 0.25           # dual ascent step (stable for tau <= 1/4)
     warps: int = 5              # warp-and-relinearize outer steps per level
-    iters: int = 30             # v/u alternations per warp iteration
+    warps_per_level: Tuple[int, ...] = ()  # per-level override of `warps`
+                                # (coarsest-last, like iters_per_level).
+                                # NOTE: pyr.iters_per_level is deliberately
+                                # IGNORED by tvl1_solve — it counts HS Jacobi
+                                # sweeps, not warp iterations.
+    iters: int = 100            # v/u alternations per warp iteration
+                                # (measured: 30 leaves a -3 px translation
+                                # at EPE 0.56; 100 reaches 0.0000 — the
+                                # dual ascent needs ~100 steps to spread
+                                # information across a level)
     median: bool = True         # 3x3 median of the flow after each warp
                                 # (the standard robustness upgrade, Sun et
                                 # al. 2010; pure sort network, no gathers)
     dtype: str = "float32"
-    # Warp lowering, as PyramidConfig.warp: tiled | gather | auto (= tiled).
+    # Warp lowering, as PyramidConfig.warp: tiled | gather | auto. Unlike
+    # HS/LK, "auto" = GATHER here: the tiled warp's exactness contract
+    # (per-tile flow deviation <= 4 px from the tile mean) assumes the
+    # smooth fields HS produces, and TV-L1's entire purpose is sharp
+    # piecewise-constant motion boundaries that violate it. "tiled" is
+    # still selectable for smooth-motion streams where it's known safe.
     warp: str = "auto"
 
     def __post_init__(self):
@@ -174,6 +192,8 @@ class TVL1Config:
             raise ValueError("tau must be in (0, 0.25] (Chambolle stability)")
         if self.warps < 1 or self.iters < 1:
             raise ValueError("warps and iters must be >= 1")
+        if any(w < 1 for w in self.warps_per_level):
+            raise ValueError("warps_per_level entries must be >= 1")
         if self.warp not in ("auto", "tiled", "gather"):
             raise ValueError("warp must be auto|tiled|gather")
 

@@ -85,6 +85,15 @@ def divergence(px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
     return (px - _zshift_right_col(px)) + (py - _zshift_down_row(py))
 
 
+def _safe_norm(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(x^2 + y^2) with a finite gradient at the origin (double-where:
+    sqrt'(0) = inf would NaN the whole backward pass; forward values are
+    bitwise identical to the naive form)."""
+    n2 = x * x + y * y
+    pos = n2 > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, n2, 1.0)), 0.0)
+
+
 def median3(a: jnp.ndarray) -> jnp.ndarray:
     """3x3 median with replicate borders: stack the 9 clamp-shifted copies
     and sort across the stack — no gathers, no data-dependent control."""
@@ -117,10 +126,18 @@ def tvl1_warp_iteration(
       v-step: pointwise shrinkage of the L1 data term (three-case threshold
               on rho against lambda·theta·|g|^2),
       u-step: one Chambolle projected-ascent step per flow component —
-              u_k = v_k - theta·div p_k;  p_k <- (p_k + (tau/theta) grad u_k)
-              / (1 + (tau/theta) |grad u_k|).
+              u_k = v_k + theta·div p_k;  p_k <- (p_k + (tau/theta) grad u_k)
+              / (1 + (tau/theta) |grad u_k|)
+    (the IPOL/Sanchez-et-al. sign convention: with `divergence` the NEGATIVE
+    adjoint of `grad_forward`, the TV-prox solution is v + theta·div p, and
+    it pairs with dual *ascent* p + sigma·grad u. The opposite u-step sign
+    pairs with dual descent p - sigma·grad u; mixing the two diverges.)
     """
-    i2w = warp(i2, u1, u2, cfg.warp)
+    # "auto" means GATHER for TV-L1 (not tiled, as HS/LK resolve it): the
+    # tiled warp's per-tile smoothness contract (<= 4 px deviation from the
+    # tile's mean flow) is exactly what sharp TV-L1 motion boundaries break,
+    # corrupting rho at the discontinuities this model exists to preserve.
+    i2w = warp(i2, u1, u2, "gather" if cfg.warp == "auto" else cfg.warp)
     gx, gy = _central_grad(i2w)
     rho0 = i2w - i1 - u1 * gx - u2 * gy   # rho(u) = rho0 + u·g, affine in u
     g2 = gx * gx + gy * gy
@@ -140,12 +157,12 @@ def tvl1_warp_iteration(
         v1 = u1 + step * gx
         v2 = u2 + step * gy
         # --- u-step: one dual ascent step of Chambolle's TV prox per field -
-        u1 = v1 - cfg.theta * divergence(p1x, p1y)
-        u2 = v2 - cfg.theta * divergence(p2x, p2y)
+        u1 = v1 + cfg.theta * divergence(p1x, p1y)
+        u2 = v2 + cfg.theta * divergence(p2x, p2y)
         d1x, d1y = grad_forward(u1)
         d2x, d2y = grad_forward(u2)
-        n1 = 1.0 + sigma * jnp.sqrt(d1x * d1x + d1y * d1y)
-        n2 = 1.0 + sigma * jnp.sqrt(d2x * d2x + d2y * d2y)
+        n1 = 1.0 + sigma * _safe_norm(d1x, d1y)
+        n2 = 1.0 + sigma * _safe_norm(d2x, d2y)
         p1x, p1y = _mask_dual((p1x + sigma * d1x) / n1, (p1y + sigma * d1y) / n1)
         p2x, p2y = _mask_dual((p2x + sigma * d2x) / n2, (p2y + sigma * d2y) / n2)
         return u1, u2, p1x, p1y, p2x, p2y
@@ -172,9 +189,24 @@ def _tvl1_pyramid_body(
     constrain=lambda a: a,
 ) -> Flow:
     dtype = jnp.dtype(cfg.dtype)
-    p1 = [constrain(f) for f in gaussian_pyramid(i1.astype(dtype), pyr.levels)]
-    p2 = [constrain(f) for f in gaussian_pyramid(i2.astype(dtype), pyr.levels)]
-    warps: Sequence[int] = pyr.iters_per_level or (cfg.warps,) * pyr.levels
+    i1, i2 = i1.astype(dtype), i2.astype(dtype)
+    # Jointly rescale the pair to [0, 255] (the IPOL/Sanchez-et-al.
+    # convention lambda is calibrated for). The published lambda=0.15
+    # over-regularizes [0,1] frames by ~255x — measured on the two-motion
+    # seam: band EPE 0.85 raw vs 0.062 normalized (vs HS 0.25). The min/max
+    # are global reductions, so the tiled path stays byte-identical (GSPMD
+    # all-reduces them) and vmap gives per-pair normalization when batched.
+    lo = jnp.minimum(i1.min(), i2.min())
+    hi = jnp.maximum(i1.max(), i2.max())
+    scale = 255.0 / jnp.maximum(hi - lo, jnp.asarray(1e-6, dtype))
+    i1 = (i1 - lo) * scale
+    i2 = (i2 - lo) * scale
+    p1 = [constrain(f) for f in gaussian_pyramid(i1, pyr.levels)]
+    p2 = [constrain(f) for f in gaussian_pyramid(i2, pyr.levels)]
+    # Per-level warp counts come from TVL1Config, NOT pyr.iters_per_level:
+    # that field counts Jacobi sweeps for HS, and silently reinterpreting an
+    # HS-tuned (100, 50, 25) as warp counts would be a ~20x runtime surprise.
+    warps: Sequence[int] = cfg.warps_per_level or (cfg.warps,) * pyr.levels
 
     flow: Optional[Flow] = None
     for level in range(pyr.levels - 1, -1, -1):
@@ -220,6 +252,10 @@ def tvl1_solve(
     if min_side // (2 ** (pyr.levels - 1)) < 8:
         raise ValueError(
             f"{pyr.levels} levels would shrink a {i1.shape[-2:]} frame below 8 px"
+        )
+    if cfg.warps_per_level and len(cfg.warps_per_level) != pyr.levels:
+        raise ValueError(
+            f"warps_per_level {cfg.warps_per_level} must match levels={pyr.levels}"
         )
     return _tvl1_impl(i1, i2, cfg, pyr)
 

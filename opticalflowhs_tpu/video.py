@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from opticalflowhs_tpu.batch import hs_solve_batched
-from opticalflowhs_tpu.config import HSConfig, LKConfig, PyramidConfig
+from opticalflowhs_tpu.config import HSConfig, LKConfig, PyramidConfig, TVL1Config
 from opticalflowhs_tpu.solver import Flow
 
 
@@ -65,6 +65,7 @@ def flow_stream(
     chunk: int = 8,
     mesh=None,
     lk: Optional[LKConfig] = None,
+    tvl1: Optional[TVL1Config] = None,
 ) -> Iterator[Flow]:
     """Stream dense flow over a video, yielding one batched Flow per chunk.
 
@@ -77,15 +78,20 @@ def flow_stream(
     streaming, SURVEY.md §2b P1 x P6; chunk must be divisible by the
     mesh's batch size).
 
-    `lk`: solve with the Lucas-Kanade family instead of HS (`cfg` is then
-    ignored); the prefetch pipeline and sharding are identical.
+    `lk` / `tvl1`: solve with the Lucas-Kanade or TV-L1 family instead of HS
+    (`cfg` is then ignored); the prefetch pipeline and sharding are identical.
     """
-    if lk is not None:
-        from opticalflowhs_tpu.lucas_kanade import lk_solve_batched
-
-        lk_pyr = pyr if pyr is not None else PyramidConfig(
+    if lk is not None and tvl1 is not None:
+        raise ValueError("pass at most one of lk= and tvl1=")
+    alt_pyr = None
+    if lk is not None or tvl1 is not None:
+        alt_pyr = pyr if pyr is not None else PyramidConfig(
             levels=1, iters_per_level=()
         )
+    if lk is not None:
+        from opticalflowhs_tpu.lucas_kanade import lk_solve_batched
+    if tvl1 is not None:
+        from opticalflowhs_tpu.tvl1 import tvl1_solve_batched
     for cur in _prefetched_windows(frames, chunk):
         # The stream's final (remainder) chunk may not divide the mesh's
         # batch axis — run it unsharded rather than erroring at stream end.
@@ -93,7 +99,9 @@ def flow_stream(
         if m is not None and (cur.shape[0] - 1) % m.shape["batch"]:
             m = None
         if lk is not None:
-            yield lk_solve_batched(cur[:-1], cur[1:], lk, lk_pyr, mesh=m)
+            yield lk_solve_batched(cur[:-1], cur[1:], lk, alt_pyr, mesh=m)
+        elif tvl1 is not None:
+            yield tvl1_solve_batched(cur[:-1], cur[1:], tvl1, alt_pyr, mesh=m)
         else:
             yield hs_solve_batched(cur[:-1], cur[1:], cfg, pyr, mesh=m)
 
@@ -106,6 +114,8 @@ def flow_stream_occlusion(
     a: float = 0.01,
     b: float = 0.5,
     mesh=None,
+    lk: Optional[LKConfig] = None,
+    tvl1: Optional[TVL1Config] = None,
 ) -> Iterator[tuple[Flow, jnp.ndarray]]:
     """flow_stream plus per-pair occlusion masks: yields (forward Flow,
     boolean mask) per chunk.
@@ -113,11 +123,25 @@ def flow_stream_occlusion(
     Both directions ride ONE 2B-batch solve per chunk (the backward pairs
     are appended to the same stack, so fwd+bwd share every kernel launch),
     then the forward-backward test (consistency.occlusion_mask) runs
-    vmapped on device. Thresholds (a, b) as occlusion_mask.
+    vmapped on device. Thresholds (a, b) as occlusion_mask. The test is
+    model-agnostic: `lk=`/`tvl1=` switch the solver family exactly as in
+    flow_stream (`cfg` is then ignored).
     """
     from functools import partial
 
     from opticalflowhs_tpu.consistency import occlusion_mask
+
+    if lk is not None and tvl1 is not None:
+        raise ValueError("pass at most one of lk= and tvl1=")
+    alt_pyr = None
+    if lk is not None or tvl1 is not None:
+        alt_pyr = pyr if pyr is not None else PyramidConfig(
+            levels=1, iters_per_level=()
+        )
+    if lk is not None:
+        from opticalflowhs_tpu.lucas_kanade import lk_solve_batched
+    if tvl1 is not None:
+        from opticalflowhs_tpu.tvl1 import tvl1_solve_batched
 
     mask_fn = jax.jit(jax.vmap(partial(occlusion_mask, a=a, b=b)))
     for cur in _prefetched_windows(frames, chunk):
@@ -125,11 +149,14 @@ def flow_stream_occlusion(
         m = mesh
         if m is not None and (2 * n) % m.shape["batch"]:
             m = None
-        f = hs_solve_batched(
-            jnp.concatenate([cur[:-1], cur[1:]]),
-            jnp.concatenate([cur[1:], cur[:-1]]),
-            cfg, pyr, mesh=m,
-        )
+        b1 = jnp.concatenate([cur[:-1], cur[1:]])
+        b2 = jnp.concatenate([cur[1:], cur[:-1]])
+        if lk is not None:
+            f = lk_solve_batched(b1, b2, lk, alt_pyr, mesh=m)
+        elif tvl1 is not None:
+            f = tvl1_solve_batched(b1, b2, tvl1, alt_pyr, mesh=m)
+        else:
+            f = hs_solve_batched(b1, b2, cfg, pyr, mesh=m)
         fwd = Flow(f.u[:n], f.v[:n])
         bwd = Flow(f.u[n:], f.v[n:])
         yield fwd, mask_fn(fwd, bwd)
@@ -142,6 +169,7 @@ def flow_video(
     chunk: int = 8,
     mesh=None,
     lk: Optional[LKConfig] = None,
+    tvl1: Optional[TVL1Config] = None,
 ) -> Flow:
     """Whole-video convenience: (T, H, W) frames -> (T-1, H, W) Flow.
 
@@ -151,7 +179,7 @@ def flow_video(
     streaming consumption, use flow_stream directly.
     """
     us, vs = [], []
-    for f in flow_stream(frames, cfg, pyr, chunk, mesh=mesh, lk=lk):
+    for f in flow_stream(frames, cfg, pyr, chunk, mesh=mesh, lk=lk, tvl1=tvl1):
         us.append(np.asarray(f.u))
         vs.append(np.asarray(f.v))
     return Flow(np.concatenate(us, axis=0), np.concatenate(vs, axis=0))

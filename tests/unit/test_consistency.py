@@ -111,3 +111,38 @@ def test_occluded_region_is_flagged():
     outside = np.concatenate([occ[:8].ravel(), occ[-8:].ravel()]).mean()
     assert inside > 0.5
     assert outside < 0.05
+
+
+def test_solve_bidirectional_lk_matches_separate_solves():
+    """The consistency test is model-agnostic: the LK leg must equal two
+    independent lk_solve calls (VERDICT r2 item 8)."""
+    from opticalflowhs_tpu.config import LKConfig
+    from opticalflowhs_tpu.lucas_kanade import lk_solve
+
+    i1, i2, _ = translation_pair(48, 64, 1.0, 0.5, key=4)
+    i1, i2 = jnp.asarray(i1), jnp.asarray(i2)
+    cfg = LKConfig(window=9, iters=2)
+    fwd, bwd = solve_bidirectional(i1, i2, lk=cfg)
+    ff = lk_solve(i1, i2, cfg)
+    fb = lk_solve(i2, i1, cfg)
+    np.testing.assert_allclose(np.asarray(fwd.u), np.asarray(ff.u), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bwd.u), np.asarray(fb.u), atol=2e-5)
+
+
+def test_flow_with_occlusion_lk_translation_consistent():
+    from opticalflowhs_tpu.config import LKConfig
+
+    i1, i2, _ = translation_pair(48, 64, 1.0, 0.0, key=7)
+    flow, occ = flow_with_occlusion(
+        jnp.asarray(i1), jnp.asarray(i2), lk=LKConfig(window=11, iters=3)
+    )
+    assert np.asarray(occ)[8:-8, 8:-8].mean() < 0.05
+    assert abs(float(jnp.mean(flow.u)) - 1.0) < 0.2
+
+
+def test_mutually_exclusive_families():
+    from opticalflowhs_tpu.config import LKConfig, TVL1Config
+
+    a = jnp.zeros((16, 16))
+    with pytest.raises(ValueError, match="at most one"):
+        solve_bidirectional(a, a, lk=LKConfig(), tvl1=TVL1Config())
