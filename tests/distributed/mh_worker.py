@@ -67,4 +67,16 @@ localp = hs_pyramid(jnp.asarray(i1), jnp.asarray(i2), cfg, pyr)
 up = multihost_utils.process_allgather(fp.u, tiled=True)
 dp = float(np.abs(np.asarray(up) - np.asarray(localp.u)).max())
 assert dp <= 5e-6, f"pyramid-multiprocess differs from local: {dp}"
+
+# Pallas-backend leg (interpret mode on CPU): the pod runbook's fast path —
+# per-shard Pallas tile kernels inside shard_map — exercised across the
+# process boundary, == the jnp oracle (round-2 VERDICT item 5).
+pcfg = HSConfig(alpha=0.5, iters=8, backend="pallas")
+fk = hs_solve_tiled(g1, g2, pcfg, mesh=mesh, halo_sweeps=2)
+jax.block_until_ready(fk)
+localk = hs_solve(jnp.asarray(i1), jnp.asarray(i2),
+                  HSConfig(alpha=0.5, iters=8, backend="jnp"))
+uk = multihost_utils.process_allgather(fk.u, tiled=True)
+dk = float(np.abs(np.asarray(uk) - np.asarray(localk.u)).max())
+assert dk <= 2e-6, f"pallas-tile multiprocess differs from oracle: {dk}"
 print(f"MH_WORKER_OK {pid}", flush=True)
