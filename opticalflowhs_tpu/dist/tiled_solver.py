@@ -289,7 +289,25 @@ def _tiled_impl(i1, i2, cfg: HSConfig, s: int, mesh: Mesh, batched: bool,
     spec = P("batch", "y", "x") if batched else P("y", "x")
     body = _tile_body_rdma if halo_impl == "rdma" else _tile_body
     if batched:
-        body = jax.vmap(body, in_axes=(0, 0, None, None, None, None))
+        if halo_impl == "rdma":
+            # vmap has no batching rule for the in-kernel DMA primitives;
+            # unroll the LOCAL lanes (B / mesh_batch, static) instead — one
+            # fused ring launch per lane, identical program order on every
+            # chip of the ring (SPMD), so the per-lane send/recv chains
+            # compose exactly like the in-lane block chains.
+            single = body
+
+            def body(a, b, cfg_, s_, h_, w_):
+                flows = [
+                    single(a[k], b[k], cfg_, s_, h_, w_)
+                    for k in range(a.shape[0])
+                ]
+                return Flow(
+                    jnp.stack([f.u for f in flows]),
+                    jnp.stack([f.v for f in flows]),
+                )
+        else:
+            body = jax.vmap(body, in_axes=(0, 0, None, None, None, None))
     fn = jax.shard_map(
         lambda a, b: body(a, b, cfg, s, h, w),
         mesh=mesh,
@@ -321,7 +339,10 @@ def hs_solve_tiled(
 
     halo_impl: "ppermute" (default — XLA collective between Pallas
     launches) or "rdma" (fused in-kernel remote-DMA exchange overlapped
-    with compute; requires TPU hardware, mesh x == 1, single pairs).
+    with compute; requires TPU hardware and a row-decomposed mesh, x == 1).
+    "rdma" accepts (B, H, W) stacks too: local lanes unroll into one fused
+    ring launch each, and the mesh "batch" axis composes (MESH-dict device
+    ids keep each batch group's y-ring disjoint).
 
     cfg.solver="sor" tiles too (per-shard Pallas or jnp body; colors keyed
     by global parity): each exchange block moves a 4*halo_sweeps-px halo
@@ -387,8 +408,6 @@ def hs_solve_tiled(
     if halo_impl == "rdma":
         if mesh.shape["x"] != 1:
             raise ValueError("halo_impl='rdma' needs a row-decomposed mesh (x == 1)")
-        if i1.ndim != 2:
-            raise ValueError("halo_impl='rdma' supports single (H, W) pairs")
         if jax.default_backend() != "tpu":
             raise ValueError("halo_impl='rdma' requires TPU hardware "
                              "(remote DMA does not run in interpret mode)")

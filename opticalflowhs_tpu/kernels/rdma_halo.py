@@ -57,21 +57,25 @@ def _halo_kernel(x_ref, o_ref, comm, send_up_sem, send_dn_sem,
     # Send my top rows to the upper neighbor's bottom-recv slot (they sit
     # below me in the ring view) and my bottom rows to the lower neighbor's
     # top-recv slot. comm[0] = recv_top (filled by `up`), comm[1] = recv_bot.
+    # Device ids are MESH dicts {ring_axis: coord}: unnamed axes default to
+    # the sender's own coordinates (jax lowers the dict per-axis), so the
+    # ring stays correct on any multi-axis ("batch", "y", "x") mesh — a
+    # scalar LOGICAL id would alias across batch groups.
     rdma_up = pltpu.make_async_remote_copy(
         src_ref=x_ref.at[pl.ds(0, halo)],
         dst_ref=comm.at[1],
         send_sem=send_up_sem,
         recv_sem=recv_bot_sem,
-        device_id=up,
-        device_id_type=pltpu.DeviceIdType.LOGICAL,
+        device_id={axis_name: up},
+        device_id_type=pltpu.DeviceIdType.MESH,
     )
     rdma_dn = pltpu.make_async_remote_copy(
         src_ref=x_ref.at[pl.ds(h - halo, halo)],
         dst_ref=comm.at[0],
         send_sem=send_dn_sem,
         recv_sem=recv_top_sem,
-        device_id=dn,
-        device_id_type=pltpu.DeviceIdType.LOGICAL,
+        device_id={axis_name: dn},
+        device_id_type=pltpu.DeviceIdType.MESH,
     )
     rdma_up.start()
     rdma_dn.start()
@@ -177,14 +181,16 @@ def _fused_kernel(row0_ref, u0_ref, v0_ref, ex_ref, ey_ref, et_ref, invd_ref,
             dmas.append(pltpu.make_async_remote_copy(
                 src_ref=buf.at[pl.ds(sigma, sigma)],      # my top owned rows
                 dst_ref=comm.at[parity, 1],               # -> up's bottom halo
-                send_sem=s_up, recv_sem=r_bot, device_id=up,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
+                send_sem=s_up, recv_sem=r_bot,
+                device_id={axis_name: up},  # MESH dict: other axes = own
+                device_id_type=pltpu.DeviceIdType.MESH,
             ))
             dmas.append(pltpu.make_async_remote_copy(
                 src_ref=buf.at[pl.ds(th, sigma)],         # my bottom owned rows
                 dst_ref=comm.at[parity, 0],               # -> down's top halo
-                send_sem=s_dn, recv_sem=r_top, device_id=dn,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
+                send_sem=s_dn, recv_sem=r_top,
+                device_id={axis_name: dn},
+                device_id_type=pltpu.DeviceIdType.MESH,
             ))
         for d in dmas:
             d.start()

@@ -72,3 +72,26 @@ def test_ring_fused_sweeps_degenerate_matches_untiled(iters, s):
     du = float(jnp.abs(f.u - r.u).max())
     dv = float(jnp.abs(f.v - r.v).max())
     assert max(du, dv) <= 2e-6, (du, dv)
+
+
+def test_ring_fused_sweeps_batched_matches_untiled():
+    """(B, H, W) stacks through the rdma path: each local lane unrolls into
+    its own fused ring launch (round-2 VERDICT item 6). Degenerate 1-chip
+    ring, == the untiled jnp batched solve."""
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflowhs_tpu.batch import hs_solve_batched
+    from opticalflowhs_tpu.config import HSConfig, MeshConfig
+    from opticalflowhs_tpu.dist import hs_solve_tiled, make_mesh
+
+    rng = np.random.default_rng(23)
+    i1 = jnp.asarray(rng.uniform(0, 1, (3, 63, 130)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (3, 63, 130)).astype(np.float32))
+    cfg = HSConfig(alpha=0.5, iters=13, backend="pallas")
+    mesh = make_mesh(MeshConfig(batch=1, y=1, x=1))
+    f = hs_solve_tiled(i1, i2, cfg, mesh=mesh, halo_sweeps=5, halo_impl="rdma")
+    r = hs_solve_batched(i1, i2, HSConfig(alpha=0.5, iters=13, backend="jnp"))
+    du = float(jnp.abs(f.u - r.u).max())
+    dv = float(jnp.abs(f.v - r.v).max())
+    assert max(du, dv) <= 2e-6, (du, dv)
