@@ -33,6 +33,12 @@
 #include <opencv2/core.hpp>
 #include <opencv2/imgcodecs.hpp>
 #endif
+#ifdef HSIO_WITH_OPENCV_VIDEO
+// Container/camera ingestion (mp4/avi/V4L2 -> decode ring) via OpenCV
+// videoio (ffmpeg-backed). The reference class stops at still images; this
+// is the config-4 streaming front end the north star asks for.
+#include <opencv2/videoio.hpp>
+#endif
 
 namespace {
 
@@ -156,14 +162,11 @@ bool decode_pnm(const std::vector<unsigned char>& d, Image& img) {
 }
 
 #ifdef HSIO_WITH_OPENCV
-// Decode any OpenCV-supported format to float32 grayscale in [0, 1],
-// matching io/images.py exactly: stored grayscale is scaled by the sample
-// max; color converts via BT.601 luma in float (no intermediate rounding).
-bool decode_cv(const std::vector<unsigned char>& d, Image& img) {
-  cv::Mat buf(1, static_cast<int>(d.size()), CV_8UC1,
-              const_cast<unsigned char*>(d.data()));
-  cv::Mat raw = cv::imdecode(buf, cv::IMREAD_UNCHANGED);
-  if (raw.empty()) return false;
+// Any 8U/16U 1/3/4-channel Mat to float32 grayscale in [0, 1], matching
+// io/images.py exactly: stored grayscale is scaled by the sample max;
+// color converts via BT.601 luma in float (no intermediate rounding).
+// Shared by the still-image decoder and the video frame path.
+void mat_to_gray(const cv::Mat& raw, Image& img) {
   img.w = raw.cols;
   img.h = raw.rows;
   img.px.resize(static_cast<size_t>(raw.cols) * raw.rows);
@@ -187,6 +190,14 @@ bool decode_cv(const std::vector<unsigned char>& d, Image& img) {
       out[x] = wr * r + wg * g + wb * b;  // alpha (ch==4) ignored
     }
   }
+}
+
+bool decode_cv(const std::vector<unsigned char>& d, Image& img) {
+  cv::Mat buf(1, static_cast<int>(d.size()), CV_8UC1,
+              const_cast<unsigned char*>(d.data()));
+  cv::Mat raw = cv::imdecode(buf, cv::IMREAD_UNCHANGED);
+  if (raw.empty()) return false;
+  mat_to_gray(raw, img);
   return true;
 }
 #endif
@@ -218,13 +229,17 @@ extern "C" {
 // ---- one-shot decode --------------------------------------------------------
 
 // Codec capability bitmask: 1 = PNM (always), 2 = OpenCV imgcodecs
-// (PNG/JPEG/BMP/TIFF/...). Lets the Python side route the prefetch loader.
+// (PNG/JPEG/BMP/TIFF/...), 4 = OpenCV videoio (mp4/avi/V4L2 ingestion +
+// video writer). Lets the Python side route the prefetch loader.
 int hsio_codecs() {
+  int c = 1;
 #ifdef HSIO_WITH_OPENCV
-  return 1 | 2;
-#else
-  return 1;
+  c |= 2;
 #endif
+#ifdef HSIO_WITH_OPENCV_VIDEO
+  c |= 4;
+#endif
+  return c;
 }
 
 // Header-only probe: parses PNM/PNG dimensions without decoding pixels;
@@ -477,6 +492,186 @@ void hsio_loader_close(hsio_loader* L) {
   delete L;
 }
 
-int hsio_version() { return 10100; }  // 1.1.0: + 16-bit PNG (KITTI)
+// ---- container / camera video ingestion (config 4 front end) ----------------
+//
+// One decoder thread (VideoCapture decode is internally pipelined by
+// ffmpeg; a second thread on the same capture is UB) fills a bounded ring
+// of grayscale float frames, so the accelerator never waits on the
+// container demux/decode — the same pipeline shape as hsio_loader. Source
+// is a file path, or "cam:N" for a V4L2 camera index.
+
+struct hsio_video {
+#ifdef HSIO_WITH_OPENCV_VIDEO
+  cv::VideoCapture cap;
+#endif
+  int w = 0, h = 0;
+  double fps = 0.0;
+  long n_frames = -1;  // -1 = unknown (cameras, some containers)
+  size_t capacity = 4;
+  std::deque<Image> ring;
+  std::mutex mu;
+  std::condition_variable cv_worker, cv_consumer;
+  std::thread worker;
+  std::atomic<bool> stop{false};
+  bool eof = false;
+
+#ifdef HSIO_WITH_OPENCV_VIDEO
+  void work() {
+    cv::Mat frame;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_worker.wait(lk, [&] { return stop || ring.size() < capacity; });
+        if (stop) return;
+      }
+      if (!cap.read(frame) || frame.empty()) {
+        std::lock_guard<std::mutex> lk(mu);
+        eof = true;
+        cv_consumer.notify_all();
+        return;
+      }
+      Image img;
+      mat_to_gray(frame, img);
+      std::lock_guard<std::mutex> lk(mu);
+      ring.emplace_back(std::move(img));
+      cv_consumer.notify_all();
+    }
+  }
+#endif
+};
+
+hsio_video* hsio_video_open(const char* source, int prefetch_depth) {
+#ifdef HSIO_WITH_OPENCV_VIDEO
+  auto* V = new hsio_video();
+  const char* cam = std::strncmp(source, "cam:", 4) == 0 ? source + 4 : nullptr;
+  bool ok = cam ? V->cap.open(std::atoi(cam), cv::CAP_V4L2)
+                : V->cap.open(source);
+  if (!ok || !V->cap.isOpened()) {
+    delete V;
+    return nullptr;
+  }
+  V->w = static_cast<int>(V->cap.get(cv::CAP_PROP_FRAME_WIDTH));
+  V->h = static_cast<int>(V->cap.get(cv::CAP_PROP_FRAME_HEIGHT));
+  V->fps = V->cap.get(cv::CAP_PROP_FPS);
+  double n = V->cap.get(cv::CAP_PROP_FRAME_COUNT);
+  V->n_frames = n > 0 ? static_cast<long>(n) : -1;
+  V->capacity = prefetch_depth > 0 ? prefetch_depth : 4;
+  V->worker = std::thread(&hsio_video::work, V);
+  return V;
+#else
+  (void)source; (void)prefetch_depth;
+  return nullptr;
+#endif
+}
+
+int hsio_video_info(hsio_video* V, int* w, int* h, double* fps,
+                    long* n_frames) {
+  if (!V) return -1;
+  *w = V->w;
+  *h = V->h;
+  *fps = V->fps;
+  *n_frames = V->n_frames;
+  return 0;
+}
+
+// 0 = frame delivered, 1 = end of stream, -4 = caller buffer too small
+// (w/h filled, frame kept for retry).
+int hsio_video_next(hsio_video* V, float* out, int* w, int* h,
+                    long capacity_px) {
+  if (!V) return -1;
+  std::unique_lock<std::mutex> lk(V->mu);
+  V->cv_consumer.wait(lk, [&] { return !V->ring.empty() || V->eof; });
+  if (V->ring.empty()) return 1;
+  Image& img = V->ring.front();
+  *w = img.w;
+  *h = img.h;
+  if (static_cast<long>(img.px.size()) > capacity_px) return -4;
+  if (out) std::memcpy(out, img.px.data(), img.px.size() * sizeof(float));
+  V->ring.pop_front();
+  V->cv_worker.notify_all();
+  return 0;
+}
+
+void hsio_video_close(hsio_video* V) {
+  if (!V) return;
+  {
+    std::lock_guard<std::mutex> lk(V->mu);
+    V->stop = true;
+  }
+  V->cv_worker.notify_all();
+  if (V->worker.joinable()) V->worker.join();
+  delete V;
+}
+
+// ---- video writer (flow visualizations / test fixtures) ---------------------
+
+struct hsio_vwriter {
+#ifdef HSIO_WITH_OPENCV_VIDEO
+  cv::VideoWriter wr;
+#endif
+  int w = 0, h = 0;
+};
+
+// fourcc: 4-char codec tag ("MJPG", "mp4v", "FFV1", ...). Gray float frames
+// in [0, 1] are expanded to 8-bit BGR (codecs want color).
+hsio_vwriter* hsio_vwriter_open(const char* path, int w, int h, double fps,
+                                const char* fourcc) {
+#ifdef HSIO_WITH_OPENCV_VIDEO
+  if (w <= 0 || h <= 0 || std::strlen(fourcc) != 4) return nullptr;
+  auto* W = new hsio_vwriter();
+  int cc = cv::VideoWriter::fourcc(fourcc[0], fourcc[1], fourcc[2], fourcc[3]);
+  if (!W->wr.open(path, cc, fps > 0 ? fps : 25.0, cv::Size(w, h), true)) {
+    delete W;
+    return nullptr;
+  }
+  W->w = w;
+  W->h = h;
+  return W;
+#else
+  (void)path; (void)w; (void)h; (void)fps; (void)fourcc;
+  return nullptr;
+#endif
+}
+
+// gray: (h, w) float in [0, 1]. rgb: optional (h, w, 3) float RGB instead
+// (pass gray == nullptr). Returns 0 on success.
+int hsio_vwriter_write(hsio_vwriter* W, const float* gray, const float* rgb) {
+#ifdef HSIO_WITH_OPENCV_VIDEO
+  if (!W || (!gray && !rgb)) return -1;
+  cv::Mat bgr(W->h, W->w, CV_8UC3);
+  for (int y = 0; y < W->h; ++y) {
+    uint8_t* o = bgr.ptr<uint8_t>(y);
+    for (int x = 0; x < W->w; ++x) {
+      auto q = [](float v) {
+        v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+        return static_cast<uint8_t>(v * 255.0f + 0.5f);
+      };
+      if (gray) {
+        uint8_t g = q(gray[static_cast<size_t>(y) * W->w + x]);
+        o[3 * x] = o[3 * x + 1] = o[3 * x + 2] = g;
+      } else {
+        const float* p = rgb + (static_cast<size_t>(y) * W->w + x) * 3;
+        o[3 * x] = q(p[2]);      // BGR
+        o[3 * x + 1] = q(p[1]);
+        o[3 * x + 2] = q(p[0]);
+      }
+    }
+  }
+  W->wr.write(bgr);
+  return 0;
+#else
+  (void)W; (void)gray; (void)rgb;
+  return -10;
+#endif
+}
+
+void hsio_vwriter_close(hsio_vwriter* W) {
+#ifdef HSIO_WITH_OPENCV_VIDEO
+  if (W) W->wr.release();
+#endif
+  delete W;
+}
+
+int hsio_version() { return 10200; }  // 1.2.0: + video ingestion/writer
 
 }  // extern "C"

@@ -183,7 +183,25 @@ def _cmd_video(args, overrides):
     method = args.method or rc.method
     if method not in ("hs", "lk", "tvl1"):
         raise SystemExit(f"unknown method {method!r} (hs|lk|tvl1)")
-    if os.path.isdir(args.frames):
+    from opticalflowhs_tpu.io import native
+
+    is_video_src = args.frames.startswith("cam:") or (
+        os.path.isfile(args.frames)
+        and args.frames.lower().endswith(native.VIDEO_EXTS)
+    )
+    if is_video_src:
+        # Container/camera ingestion: libhsio's videoio decode ring
+        # (ffmpeg-backed) feeds grayscale frames ahead of the solve (P6).
+        if not (native.build() and native.available()
+                and native.video_available()):
+            raise SystemExit(
+                f"{args.frames}: video sources need libhsio built with "
+                "OpenCV videoio (make -C native)"
+            )
+        _, _, _, n = native.video_info(args.frames)
+        n_frames = n if n > 0 else -1
+        frames = native.stream_video(args.frames, prefetch=2 * args.chunk)
+    elif os.path.isdir(args.frames):
         paths = sorted(
             os.path.join(args.frames, p)
             for p in os.listdir(args.frames)
@@ -194,8 +212,6 @@ def _cmd_video(args, overrides):
         # (decode overlaps the solve — pipeline stage P6) whenever the
         # library can decode every frame (PNM always; PNG/JPEG/... when it
         # was built with the OpenCV codecs); else synchronous Python decode.
-        from opticalflowhs_tpu.io import native
-
         if native.build() and native.available() and all(
             native.can_decode(p) for p in paths
         ):
@@ -203,7 +219,10 @@ def _cmd_video(args, overrides):
         else:
             frames = (load_gray(p) for p in paths)
     else:
-        raise SystemExit(f"{args.frames}: expected a directory of frames")
+        raise SystemExit(
+            f"{args.frames}: expected a directory of frames, a video file "
+            f"({'/'.join(e[1:] for e in native.VIDEO_EXTS[:4])}/...), or cam:N"
+        )
     os.makedirs(args.output, exist_ok=True)
     pyr = rc.pyramid if rc.pyramid.levels > 1 else None
     mesh = None
@@ -275,7 +294,8 @@ def _cmd_video(args, overrides):
     if em_file is not None:
         print(f"wrote {os.path.join(args.output, 'egomotion.jsonl')}")
     dt = time.perf_counter() - t0
-    print(f"{idx} flows from {n_frames} frames in {dt:.2f}s ({idx / dt:.1f} fps incl. compile)")
+    src = f"{n_frames} frames" if n_frames >= 0 else "a live stream"
+    print(f"{idx} flows from {src} in {dt:.2f}s ({idx / dt:.1f} fps incl. compile)")
     return 0
 
 

@@ -70,6 +70,25 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
     except AttributeError:  # pre-1.1 library on disk
         pass
+    try:  # 1.2: video ingestion + writer
+        lib.hsio_video_open.restype = ctypes.c_void_p
+        lib.hsio_video_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.hsio_video_info.argtypes = [
+            ctypes.c_void_p, ip, ip,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.hsio_video_next.argtypes = [ctypes.c_void_p, fp, ip, ip,
+                                        ctypes.c_long]
+        lib.hsio_video_close.argtypes = [ctypes.c_void_p]
+        lib.hsio_vwriter_open.restype = ctypes.c_void_p
+        lib.hsio_vwriter_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_char_p,
+        ]
+        lib.hsio_vwriter_write.argtypes = [ctypes.c_void_p, fp, fp]
+        lib.hsio_vwriter_close.argtypes = [ctypes.c_void_p]
+    except AttributeError:  # pre-1.2 library on disk
+        pass
     _lib = lib
     return _lib
 
@@ -81,6 +100,7 @@ def available() -> bool:
 # hsio_codecs() capability bits
 CODEC_PNM = 1
 CODEC_OPENCV = 2  # PNG/JPEG/BMP/TIFF/... via OpenCV imgcodecs
+CODEC_VIDEO = 4   # mp4/avi/V4L2 ingestion + video writer via OpenCV videoio
 
 _PNM_EXTS = (".pgm", ".ppm", ".pnm")
 
@@ -247,3 +267,104 @@ def stream_frames(
             yield out.reshape(-1)[:n].reshape(h.value, w.value).copy()
     finally:
         lib.hsio_loader_close(handle)
+
+
+def video_available() -> bool:
+    """True when the library was built with OpenCV videoio (mp4/avi/V4L2)."""
+    return bool(codecs() & CODEC_VIDEO)
+
+
+def video_info(source: str) -> tuple[int, int, float, int]:
+    """(width, height, fps, n_frames) of a container/camera source;
+    n_frames is -1 when unknown (cameras)."""
+    lib = _load()
+    if lib is None or not video_available():
+        raise IOError("native video ingestion unavailable (rebuild libhsio "
+                      "with OpenCV videoio)")
+    handle = lib.hsio_video_open(source.encode(), 1)
+    if not handle:
+        raise IOError(f"cannot open video source {source!r}")
+    try:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        fps = ctypes.c_double()
+        n = ctypes.c_long()
+        lib.hsio_video_info(handle, ctypes.byref(w), ctypes.byref(h),
+                            ctypes.byref(fps), ctypes.byref(n))
+        return w.value, h.value, fps.value, n.value
+    finally:
+        lib.hsio_video_close(handle)
+
+
+def stream_video(source: str, prefetch: int = 8) -> Iterator[np.ndarray]:
+    """Grayscale float frames from a container file (mp4/avi/...) or a
+    camera ("cam:N"), decoded ahead by the native ring (pipeline stage P6 —
+    the demux/decode overlaps the TPU solve exactly like stream_frames).
+    """
+    lib = _load()
+    if lib is None or not video_available():
+        raise IOError("native video ingestion unavailable (rebuild libhsio "
+                      "with OpenCV videoio)")
+    handle = lib.hsio_video_open(source.encode(), prefetch)
+    if not handle:
+        raise IOError(f"cannot open video source {source!r}")
+    try:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        fps = ctypes.c_double()
+        n = ctypes.c_long()
+        lib.hsio_video_info(handle, ctypes.byref(w), ctypes.byref(h),
+                            ctypes.byref(fps), ctypes.byref(n))
+        out = np.empty((max(h.value, 1), max(w.value, 1)), dtype=np.float32)
+        while True:
+            rc = lib.hsio_video_next(
+                handle, _fp(out), ctypes.byref(w), ctypes.byref(h), out.size
+            )
+            if rc == 1:
+                return
+            if rc == -4:  # stream changed size: grow and retry
+                out = np.empty((h.value, w.value), dtype=np.float32)
+                continue
+            if rc != 0:
+                raise IOError(f"hsio_video_next failed with {rc}")
+            npx = h.value * w.value
+            yield out.reshape(-1)[:npx].reshape(h.value, w.value).copy()
+    finally:
+        lib.hsio_video_close(handle)
+
+
+VIDEO_EXTS = (".mp4", ".avi", ".mkv", ".mov", ".webm", ".m4v", ".mpg",
+              ".mpeg", ".wmv")
+
+
+def write_video(path: str, frames, fps: float = 25.0,
+                fourcc: str = "MJPG", rgb: bool = False) -> int:
+    """Write frames ((H, W) gray float in [0,1], or (H, W, 3) float RGB
+    with rgb=True) to a container file. Returns the frame count written."""
+    lib = _load()
+    if lib is None or not video_available():
+        raise IOError("native video writer unavailable (rebuild libhsio "
+                      "with OpenCV videoio)")
+    handle = None
+    count = 0
+    try:
+        for f in frames:
+            arr = np.ascontiguousarray(f, dtype=np.float32)
+            hh, ww = arr.shape[:2]
+            if handle is None:
+                handle = lib.hsio_vwriter_open(
+                    path.encode(), ww, hh, fps, fourcc.encode()
+                )
+                if not handle:
+                    raise IOError(
+                        f"cannot open video writer {path!r} ({fourcc})"
+                    )
+            rc = (lib.hsio_vwriter_write(handle, None, _fp(arr)) if rgb
+                  else lib.hsio_vwriter_write(handle, _fp(arr), None))
+            if rc != 0:
+                raise IOError(f"hsio_vwriter_write failed with {rc}")
+            count += 1
+    finally:
+        if handle is not None:
+            lib.hsio_vwriter_close(handle)
+    return count

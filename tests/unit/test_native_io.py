@@ -202,3 +202,67 @@ def test_stream_frames_over_png_dir(hsio_cv, tmp_path):
     assert len(got) == 6
     for a, b in zip(got, ref):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@pytest.fixture(scope="session")
+def hsio_video(hsio):
+    if not native.video_available():
+        pytest.skip("libhsio built without OpenCV videoio")
+    return native
+
+
+def _smooth_frames(t=8, h=48, w=64):
+    """Low-frequency frames (lossy codecs keep these within ~2/255)."""
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    return [
+        (0.5 + 0.3 * np.sin(2 * np.pi * (xs / 32.0 + 0.1 * k))
+         * np.cos(2 * np.pi * ys / 24.0)).astype(np.float32)
+        for k in range(t)
+    ]
+
+
+def test_video_write_read_roundtrip(hsio_video, tmp_path):
+    frames = _smooth_frames()
+    path = str(tmp_path / "clip.avi")
+    n = native.write_video(path, frames, fps=10.0, fourcc="MJPG")
+    assert n == len(frames)
+    w, h, fps, nf = native.video_info(path)
+    assert (w, h) == (64, 48)
+    assert nf in (-1, len(frames))
+    got = list(native.stream_video(path))
+    assert len(got) == len(frames)
+    for a, b in zip(got, frames):
+        assert a.shape == b.shape
+        # MJPG is lossy; gray->BGR->gray is exact, DCT is not
+        assert float(np.abs(a - b).max()) < 0.03
+
+
+def test_video_feeds_flow_stream(hsio_video, tmp_path):
+    """mp4/avi ingestion composes with the streaming solver: a panning
+    synthetic clip through write->decode->flow_stream recovers the pan."""
+    import jax.numpy as jnp
+
+    from opticalflowhs_tpu.config import HSConfig
+    from opticalflowhs_tpu.video import flow_stream
+
+    h, w, t = 64, 96, 5
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = [
+        (0.5 + 0.25 * np.sin(2 * np.pi * (xs - 1.0 * k) / 24.0)
+         + 0.15 * np.cos(2 * np.pi * ys / 20.0)).astype(np.float32)
+        for k in range(t)
+    ]
+    path = str(tmp_path / "pan.avi")
+    native.write_video(path, frames, fps=10.0, fourcc="MJPG")
+    decoded = native.stream_video(path)
+    flows = list(flow_stream(decoded, HSConfig(alpha=0.1, iters=300,
+                                               backend="jnp"), chunk=2))
+    u = jnp.concatenate([f.u for f in flows])
+    assert u.shape[0] == t - 1
+    # interior mean u ~ +1 px/frame pan
+    assert abs(float(u[:, 8:-8, 8:-8].mean()) - 1.0) < 0.15
+
+
+def test_video_bad_source(hsio_video, tmp_path):
+    with pytest.raises(IOError, match="cannot open"):
+        native.video_info(str(tmp_path / "missing.mp4"))
