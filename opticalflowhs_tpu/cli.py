@@ -237,6 +237,14 @@ def _cmd_video(args, overrides):
         from opticalflowhs_tpu.solver import Flow
 
         em_file = open(os.path.join(args.output, "egomotion.jsonl"), "w")
+    viz_video = None
+    if args.viz_video:
+        if not (native.build() and native.available()
+                and native.video_available()):
+            raise SystemExit("--viz-video needs libhsio built with OpenCV "
+                             "videoio (make -C native)")
+        viz_video = native.VideoWriter(args.viz_video, fps=args.viz_fps,
+                                       rgb=True)
     t0 = time.perf_counter()
     idx = 0
     lk_cfg = rc.lk if method == "lk" else None
@@ -273,6 +281,10 @@ def _cmd_video(args, overrides):
                         os.path.join(args.output, f"flow_{idx:05d}.png"),
                         flow_to_color(f),
                     )
+                if viz_video is not None:
+                    viz_video.write(
+                        flow_to_color(f).astype(np.float32) / 255.0
+                    )
                 if masks is not None:
                     save_image(
                         os.path.join(args.output, f"occ_{idx:05d}.png"),
@@ -291,8 +303,12 @@ def _cmd_video(args, overrides):
         # Flush fits computed so far even if the stream dies mid-run.
         if em_file is not None:
             em_file.close()
+        if viz_video is not None:
+            viz_video.close()
     if em_file is not None:
         print(f"wrote {os.path.join(args.output, 'egomotion.jsonl')}")
+    if viz_video is not None:
+        print(f"wrote {args.viz_video} ({viz_video.count} frames)")
     dt = time.perf_counter() - t0
     src = f"{n_frames} frames" if n_frames >= 0 else "a live stream"
     print(f"{idx} flows from {src} in {dt:.2f}s ({idx / dt:.1f} fps incl. compile)")
@@ -527,10 +543,20 @@ def main(argv=None) -> int:
                          "mask here")
     pr.set_defaults(fn=_cmd_run)
 
-    pv = sub.add_parser("video", help="flow over a directory of frames")
-    pv.add_argument("frames")
+    pv = sub.add_parser(
+        "video",
+        help="flow over a directory of frames, a video file, or cam:N",
+    )
+    pv.add_argument("frames",
+                    help="frame directory, container file (mp4/avi/...), "
+                         "or cam:N for a V4L2 camera")
     pv.add_argument("-o", "--output", required=True, help="output directory")
     pv.add_argument("--viz", action="store_true", help="also write PNGs")
+    pv.add_argument("--viz-video", metavar="FILE",
+                    help="write the color-wheel renders as one video file "
+                         "(.avi/.mp4; needs libhsio with videoio)")
+    pv.add_argument("--viz-fps", type=float, default=25.0,
+                    help="frame rate for --viz-video (default 25)")
     pv.add_argument("--chunk", type=int, default=8)
     pv.add_argument("--method", choices=["hs", "lk", "tvl1"], default=None,
                     help="flow model family (default: config's, hs)")

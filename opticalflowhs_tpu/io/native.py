@@ -337,34 +337,60 @@ VIDEO_EXTS = (".mp4", ".avi", ".mkv", ".mov", ".webm", ".m4v", ".mpg",
               ".mpeg", ".wmv")
 
 
+class VideoWriter:
+    """Incremental container-video writer (native, lazy-opened on the first
+    frame so the geometry comes from the data). Frames are (H, W) gray
+    float in [0, 1], or (H, W, 3) float RGB with rgb=True. Context-manager
+    friendly."""
+
+    def __init__(self, path: str, fps: float = 25.0, fourcc: str = "MJPG",
+                 rgb: bool = False):
+        self._lib = _load()
+        if self._lib is None or not video_available():
+            raise IOError("native video writer unavailable (rebuild libhsio "
+                          "with OpenCV videoio)")
+        self._path = path
+        self._fps = fps
+        self._fourcc = fourcc
+        self._rgb = rgb
+        self._handle = None
+        self.count = 0
+
+    def write(self, frame: np.ndarray) -> None:
+        arr = np.ascontiguousarray(frame, dtype=np.float32)
+        if self._handle is None:
+            hh, ww = arr.shape[:2]
+            self._handle = self._lib.hsio_vwriter_open(
+                self._path.encode(), ww, hh, self._fps, self._fourcc.encode()
+            )
+            if not self._handle:
+                raise IOError(
+                    f"cannot open video writer {self._path!r} ({self._fourcc})"
+                )
+        rc = (self._lib.hsio_vwriter_write(self._handle, None, _fp(arr))
+              if self._rgb
+              else self._lib.hsio_vwriter_write(self._handle, _fp(arr), None))
+        if rc != 0:
+            raise IOError(f"hsio_vwriter_write failed with {rc}")
+        self.count += 1
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.hsio_vwriter_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def write_video(path: str, frames, fps: float = 25.0,
                 fourcc: str = "MJPG", rgb: bool = False) -> int:
     """Write frames ((H, W) gray float in [0,1], or (H, W, 3) float RGB
     with rgb=True) to a container file. Returns the frame count written."""
-    lib = _load()
-    if lib is None or not video_available():
-        raise IOError("native video writer unavailable (rebuild libhsio "
-                      "with OpenCV videoio)")
-    handle = None
-    count = 0
-    try:
+    with VideoWriter(path, fps=fps, fourcc=fourcc, rgb=rgb) as wr:
         for f in frames:
-            arr = np.ascontiguousarray(f, dtype=np.float32)
-            hh, ww = arr.shape[:2]
-            if handle is None:
-                handle = lib.hsio_vwriter_open(
-                    path.encode(), ww, hh, fps, fourcc.encode()
-                )
-                if not handle:
-                    raise IOError(
-                        f"cannot open video writer {path!r} ({fourcc})"
-                    )
-            rc = (lib.hsio_vwriter_write(handle, None, _fp(arr)) if rgb
-                  else lib.hsio_vwriter_write(handle, _fp(arr), None))
-            if rc != 0:
-                raise IOError(f"hsio_vwriter_write failed with {rc}")
-            count += 1
-    finally:
-        if handle is not None:
-            lib.hsio_vwriter_close(handle)
-    return count
+            wr.write(f)
+        return wr.count

@@ -266,3 +266,29 @@ def test_video_feeds_flow_stream(hsio_video, tmp_path):
 def test_video_bad_source(hsio_video, tmp_path):
     with pytest.raises(IOError, match="cannot open"):
         native.video_info(str(tmp_path / "missing.mp4"))
+
+
+def test_cli_video_file_to_viz_video(hsio_video, tmp_path):
+    """End-to-end CLI: video-file input -> flows + one viz video output."""
+    from opticalflowhs_tpu.cli import main
+
+    h, w, t = 48, 64, 4
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = [
+        (0.5 + 0.3 * np.sin(2 * np.pi * (xs - k) / 24.0)).astype(np.float32)
+        for k in range(t)
+    ]
+    clip = str(tmp_path / "in.avi")
+    native.write_video(clip, frames, fps=10.0, fourcc="MJPG")
+    outdir = str(tmp_path / "flows")
+    vid = str(tmp_path / "flowviz.avi")
+    rc = main(["video", clip, "-o", outdir, "--viz-video", vid,
+               "--chunk", "2", "--cfg.iters", "20"])
+    assert rc == 0
+    import os as _os
+
+    flos = [p for p in _os.listdir(outdir) if p.endswith(".flo")]
+    assert len(flos) == t - 1
+    wv, hv, _, _ = native.video_info(vid)
+    assert (wv, hv) == (w, h)
+    assert len(list(native.stream_video(vid))) == t - 1
