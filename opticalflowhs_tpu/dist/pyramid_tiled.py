@@ -8,11 +8,15 @@ Division of labor, TPU-idiomatic:
     `with_sharding_constraint`: GSPMD shards them over the ("y", "x") mesh
     and inserts the halo collectives for the shift stencils itself. Their
     arithmetic is byte-identical to the untiled pyramid (same functions).
-  * The hot per-level Jacobi solve goes through the explicit
+  * The hot per-level Jacobi/SOR solve goes through the explicit
     `shard_map` tile body of dist/tiled_solver.py (per-sweep/blockwise
     ppermute halo exchange, per-shard Pallas tile kernels, true-edge clamp
     masks) — each level is zero-padded to the mesh grid and cropped back,
     so ANY level geometry works (odd sizes from ceil-halving included).
+  * Multigrid/robust levels instead route through a GSPMD level solve
+    (_level_solve_gspmd — the same division of labor as
+    tiled_solver._tiled_mg_impl): those solvers are pure jnp, and the
+    shard_map tile body deliberately has no V-cycle/IRLS branch.
 
 Tiled == untiled therefore holds for the WHOLE pyramid to float tolerance
 (asserted at several mesh shapes in tests/distributed/test_pyramid_tiled.py).
@@ -33,6 +37,45 @@ from opticalflowhs_tpu.config import HSConfig, PyramidConfig
 from opticalflowhs_tpu.dist.tiled_solver import _round_up, _tile_body
 from opticalflowhs_tpu.pyramid import gaussian_pyramid, upsample_flow, warp
 from opticalflowhs_tpu.solver import Flow
+
+
+def _level_solve_gspmd(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    cfg: HSConfig,
+    mesh: Mesh,
+    batched: bool,
+) -> Flow:
+    """Multigrid/robust level solve: GSPMD global ops (the same division
+    of labor as tiled_solver._tiled_mg_impl/_tiled_robust_impl) — both
+    solvers are pure jnp, so XLA inserts the halo collectives for every
+    stencil and the arithmetic matches the untiled level byte-for-byte up
+    to partitioner reassociation. The shard_map tile body deliberately has
+    no V-cycle/IRLS branch (its per-sweep halo contract doesn't cover
+    inter-grid transfers), so routing a robust/multigrid level through it
+    would silently solve plain Jacobi."""
+    from opticalflowhs_tpu.ops import stencils
+    from opticalflowhs_tpu.solver import sweeps, sweeps_until
+
+    spec = P("batch", "y", "x") if batched else P("y", "x")
+    sh = NamedSharding(mesh, spec)
+    a = jax.lax.with_sharding_constraint(f1, sh)
+    b = jax.lax.with_sharding_constraint(f2, sh)
+
+    def one(aa, bb):
+        ex, ey, et = stencils.derivatives(aa, bb, cfg.deriv_variant)
+        inv_den = 1.0 / (cfg.alpha * cfg.alpha + ex * ex + ey * ey)
+        u = jnp.zeros_like(ex)
+        v = jnp.zeros_like(ex)
+        if cfg.tol > 0:
+            return sweeps_until(u, v, ex, ey, et, inv_den, cfg)
+        return sweeps(u, v, ex, ey, et, inv_den, cfg.iters, cfg)
+
+    flow = (jax.vmap(one) if batched else one)(a, b)
+    return Flow(
+        jax.lax.with_sharding_constraint(flow.u, sh),
+        jax.lax.with_sharding_constraint(flow.v, sh),
+    )
 
 
 def _level_solve(
@@ -98,7 +141,10 @@ def _pyramid_tiled_impl(
             flow = Flow(constrain(flow.u), constrain(flow.v))
             f2w = constrain(warp(f2, flow.u, flow.v, pyr.warp))
         lcfg = dataclasses.replace(cfg, iters=iters[level])
-        dflow = _level_solve(f1, f2w, lcfg, s, mesh, batched)
+        if cfg.solver in ("multigrid", "robust"):
+            dflow = _level_solve_gspmd(f1, f2w, lcfg, mesh, batched)
+        else:
+            dflow = _level_solve(f1, f2w, lcfg, s, mesh, batched)
         if flow is None:
             flow = dflow
         else:
@@ -127,18 +173,6 @@ def hs_pyramid_tiled(
         raise ValueError(f"frame shapes differ: {i1.shape} vs {i2.shape}")
     if halo_sweeps < 1:
         raise ValueError("halo_sweeps must be >= 1")
-    if cfg.solver == "multigrid":
-        # The tile body has no V-cycle branch; a 1-level "pyramid" IS the
-        # tiled solve, which has a GSPMD multigrid route.
-        if pyr.levels == 1 and i1.ndim == 2:
-            from opticalflowhs_tpu.dist.tiled_solver import hs_solve_tiled
-
-            return hs_solve_tiled(i1, i2, cfg, mesh=mesh)
-        raise ValueError(
-            "tiled multigrid supports single pairs at levels=1 (the "
-            "V-cycle is itself a multi-resolution scheme — use "
-            "pyramid.levels=1, or solver='sor' for the tiled pyramid)"
-        )
     if cfg.solver == "sor" and cfg.omega == 0.0:
         # omega=0 is the identity update — resolve the auto sentinel here
         # exactly as hs_pyramid does (single pairs), or reject stacks.

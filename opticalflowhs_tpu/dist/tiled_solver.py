@@ -207,8 +207,9 @@ def _tile_body(
     return Flow(u, v)
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh"))
-def _tiled_mg_impl(i1, i2, cfg: HSConfig, mesh: Mesh) -> Flow:
+@partial(jax.jit, static_argnames=("cfg", "mesh", "batched"))
+def _tiled_mg_impl(i1, i2, cfg: HSConfig, mesh: Mesh,
+                   batched: bool = False) -> Flow:
     """Mesh-sharded multigrid: the V-cycle runs as GLOBAL jit ops under
     GSPMD sharding constraints — same arithmetic as the single-device
     cycle up to partitioner reassociation (tiled == untiled to ~2e-6,
@@ -218,67 +219,74 @@ def _tiled_mg_impl(i1, i2, cfg: HSConfig, mesh: Mesh) -> Flow:
     small grids (coarse levels may even be replicated by the partitioner,
     which is the right call at that size), so compiler-scheduled halos
     beat hand-rolled blockwise ppermute here — the opposite tradeoff from
-    the many-sweep Jacobi/SOR tile bodies."""
+    the many-sweep Jacobi/SOR tile bodies. (B, H, W) stacks vmap the
+    cycle with the batch axis additionally sharded over "batch"."""
     from opticalflowhs_tpu.multigrid import mg_solve
 
-    spec = P("y", "x")
+    spec = P("batch", "y", "x") if batched else P("y", "x")
     sh = NamedSharding(mesh, spec)
     dtype = jnp.dtype(cfg.dtype)
     a = lax.with_sharding_constraint(i1.astype(dtype), sh)
     b = lax.with_sharding_constraint(i2.astype(dtype), sh)
-    ex, ey, et = stencils.derivatives(a, b, cfg.deriv_variant)
-    u = jnp.zeros_like(ex)
-    v = jnp.zeros_like(ex)
-    if cfg.tol > 0:
-        from opticalflowhs_tpu.solver import sweeps_until
 
-        flow = sweeps_until(
-            u, v, ex, ey, et, ex, cfg,  # inv_den unused by the override
-            run_block=lambda uu, vv, nn: mg_solve(
-                uu, vv, ex, ey, et, cfg.alpha, nn
-            ),
-        )
-        u, v = flow.u, flow.v
-    else:
-        u, v = mg_solve(u, v, ex, ey, et, cfg.alpha, cfg.iters)
+    def one(aa, bb):
+        ex, ey, et = stencils.derivatives(aa, bb, cfg.deriv_variant)
+        u = jnp.zeros_like(ex)
+        v = jnp.zeros_like(ex)
+        if cfg.tol > 0:
+            from opticalflowhs_tpu.solver import sweeps_until
+
+            return sweeps_until(
+                u, v, ex, ey, et, ex, cfg,  # inv_den unused by the override
+                run_block=lambda uu, vv, nn: mg_solve(
+                    uu, vv, ex, ey, et, cfg.alpha, nn
+                ),
+            )
+        return Flow(*mg_solve(u, v, ex, ey, et, cfg.alpha, cfg.iters))
+
+    flow = (jax.vmap(one) if batched else one)(a, b)
     return Flow(
-        lax.with_sharding_constraint(u, sh),
-        lax.with_sharding_constraint(v, sh),
+        lax.with_sharding_constraint(flow.u, sh),
+        lax.with_sharding_constraint(flow.v, sh),
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh"))
-def _tiled_robust_impl(i1, i2, cfg: HSConfig, mesh: Mesh) -> Flow:
+@partial(jax.jit, static_argnames=("cfg", "mesh", "batched"))
+def _tiled_robust_impl(i1, i2, cfg: HSConfig, mesh: Mesh,
+                       batched: bool = False) -> Flow:
     """Mesh-sharded Charbonnier IRLS (solver="robust"): GSPMD route, same
     division of labor as _tiled_mg_impl — the sweep is elementwise + 4
     shifts and the weight refreezes are global passes, so compiler-
     scheduled halo collectives under sharding constraints reproduce the
-    single-device arithmetic exactly (robust.py is pure jnp)."""
+    single-device arithmetic exactly (robust.py is pure jnp). (B, H, W)
+    stacks vmap with the batch axis additionally sharded over "batch"."""
     from opticalflowhs_tpu.robust import robust_sweeps
 
-    spec = P("y", "x")
+    spec = P("batch", "y", "x") if batched else P("y", "x")
     sh = NamedSharding(mesh, spec)
     dtype = jnp.dtype(cfg.dtype)
     a = lax.with_sharding_constraint(i1.astype(dtype), sh)
     b = lax.with_sharding_constraint(i2.astype(dtype), sh)
-    ex, ey, et = stencils.derivatives(a, b, cfg.deriv_variant)
-    u = jnp.zeros_like(ex)
-    v = jnp.zeros_like(ex)
-    if cfg.tol > 0:
-        from opticalflowhs_tpu.solver import sweeps_until
 
-        flow = sweeps_until(
-            u, v, ex, ey, et, ex, cfg,  # inv_den unused by the override
-            run_block=lambda uu, vv, nn: robust_sweeps(
-                uu, vv, ex, ey, et, nn, cfg
-            ),
-        )
-        u, v = flow.u, flow.v
-    else:
-        u, v = robust_sweeps(u, v, ex, ey, et, cfg.iters, cfg)
+    def one(aa, bb):
+        ex, ey, et = stencils.derivatives(aa, bb, cfg.deriv_variant)
+        u = jnp.zeros_like(ex)
+        v = jnp.zeros_like(ex)
+        if cfg.tol > 0:
+            from opticalflowhs_tpu.solver import sweeps_until
+
+            return sweeps_until(
+                u, v, ex, ey, et, ex, cfg,  # inv_den unused by the override
+                run_block=lambda uu, vv, nn: robust_sweeps(
+                    uu, vv, ex, ey, et, nn, cfg
+                ),
+            )
+        return Flow(*robust_sweeps(u, v, ex, ey, et, cfg.iters, cfg))
+
+    flow = (jax.vmap(one) if batched else one)(a, b)
     return Flow(
-        lax.with_sharding_constraint(u, sh),
-        lax.with_sharding_constraint(v, sh),
+        lax.with_sharding_constraint(flow.u, sh),
+        lax.with_sharding_constraint(flow.v, sh),
     )
 
 
@@ -365,31 +373,18 @@ def hs_solve_tiled(
         raise ValueError("halo_sweeps must be >= 1")
     if halo_impl not in ("ppermute", "rdma"):
         raise ValueError("halo_impl must be 'ppermute' or 'rdma'")
-    if cfg.solver == "multigrid":
-        # GSPMD route: the whole V-cycle as global sharded jit ops (exact
-        # same arithmetic as single-device; XLA schedules the halos).
-        if i1.ndim != 2:
-            raise ValueError(
-                "tiled multigrid takes single (H, W) pairs (stack via "
-                "batch.hs_solve_batched on a 'batch'-sharded mesh instead)"
-            )
+    if cfg.solver in ("multigrid", "robust"):
+        # GSPMD route: the whole V-cycle / IRLS loop as global sharded jit
+        # ops (exact same arithmetic as single-device; XLA schedules the
+        # halos). (B, H, W) stacks vmap with the batch axis sharded too.
         if halo_impl != "ppermute":
-            raise ValueError("tiled multigrid uses the GSPMD path; "
+            raise ValueError(f"tiled {cfg.solver} uses the GSPMD path; "
                              "halo_impl does not apply")
         # No pre-sharded device_put: with_sharding_constraint inside the
         # jit accepts uneven (odd H x W) shardings, device_put does not.
-        return _tiled_mg_impl(i1, i2, cfg, mesh)
-    if cfg.solver == "robust":
-        # GSPMD route, as multigrid (see _tiled_robust_impl).
-        if i1.ndim != 2:
-            raise ValueError(
-                "tiled robust takes single (H, W) pairs (stack via "
-                "batch.hs_solve_batched on a 'batch'-sharded mesh instead)"
-            )
-        if halo_impl != "ppermute":
-            raise ValueError("tiled robust uses the GSPMD path; "
-                             "halo_impl does not apply")
-        return _tiled_robust_impl(i1, i2, cfg, mesh)
+        impl = (_tiled_mg_impl if cfg.solver == "multigrid"
+                else _tiled_robust_impl)
+        return impl(i1, i2, cfg, mesh, batched=i1.ndim == 3)
     if cfg.solver == "sor" and cfg.omega == 0.0:
         raise ValueError(
             "omega=0 (auto) is single-pair only — call solver.tune_omega on "

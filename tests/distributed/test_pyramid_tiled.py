@@ -73,6 +73,38 @@ def test_pyramid_tiled_batched(pair):
     np.testing.assert_allclose(np.asarray(f.v), np.asarray(ref.v), atol=5e-6)
 
 
+@pytest.mark.parametrize("solver", ["multigrid", "robust"])
+def test_pyramid_tiled_gspmd_solvers_match_untiled(pair, solver):
+    """Multi-level pyramid with GSPMD-routed level solves (multigrid
+    V-cycles / Charbonnier IRLS) == the untiled pyramid. Also guards the
+    silent-wrong-solver class of bug: the shard_map tile body has no
+    V-cycle/IRLS branch, so these levels must NOT route through it."""
+    i1, i2, _ = pair
+    cfg = HSConfig(alpha=0.5, iters=3, backend="jnp", solver=solver)
+    mesh = make_mesh(MeshConfig(batch=1, y=2, x=4))
+    ref = hs_pyramid(i1, i2, cfg, PYR)
+    f = hs_pyramid_tiled(i1, i2, cfg, PYR, mesh=mesh, halo_sweeps=2)
+    np.testing.assert_allclose(np.asarray(f.u), np.asarray(ref.u), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(f.v), np.asarray(ref.v), atol=5e-6)
+    # ... and differs from the Jacobi pyramid (the old fall-through): the
+    # assertion above would already catch it, but make the contrast direct.
+    jac = hs_pyramid(i1, i2, HSConfig(alpha=0.5, iters=3, backend="jnp"), PYR)
+    assert float(jnp.abs(f.u - jac.u).max()) > 1e-4
+
+
+def test_pyramid_tiled_gspmd_batched(pair):
+    """(B, H, W) multigrid pyramid over a ("batch", "y", "x") mesh."""
+    i1, i2, _ = pair
+    b1 = jnp.stack([i1, i2])
+    b2 = jnp.stack([i2, i1])
+    cfg = HSConfig(alpha=0.5, iters=2, backend="jnp", solver="multigrid")
+    mesh = make_mesh(MeshConfig(batch=2, y=2, x=2))
+    ref = hs_pyramid(b1, b2, cfg, PYR)
+    f = hs_pyramid_tiled(b1, b2, cfg, PYR, mesh=mesh, halo_sweeps=2)
+    np.testing.assert_allclose(np.asarray(f.u), np.asarray(ref.u), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(f.v), np.asarray(ref.v), atol=5e-6)
+
+
 def test_pyramid_tiled_recovers_large_displacement(pair):
     """End-to-end sanity: the sharded pyramid recovers a 3 px shift that
     single-level HS at these iteration counts cannot."""

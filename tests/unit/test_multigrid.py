@@ -170,11 +170,12 @@ def test_tiled_multigrid_odd_shape_and_tol():
 
 def test_pyramid_tiled_routes_multigrid():
     """Regression: the CLI --mesh route (hs_pyramid_tiled) must run REAL
-    V-cycles for solver='multigrid' at levels=1 (it silently ran plain
-    Jacobi sweeps before), and reject multi-level pyramids."""
+    V-cycles for solver='multigrid' at any level count (it silently ran
+    plain Jacobi sweeps before; multi-level was rejected until round 3)."""
     from opticalflowhs_tpu.config import MeshConfig, PyramidConfig
     from opticalflowhs_tpu.data.synthetic import translation_pair
     from opticalflowhs_tpu.dist import hs_pyramid_tiled, make_mesh
+    from opticalflowhs_tpu.pyramid import hs_pyramid
 
     i1, i2, _ = translation_pair(64, 96, 1.0, 0.0, key=3)
     i1, i2 = jnp.asarray(i1), jnp.asarray(i2)
@@ -183,8 +184,9 @@ def test_pyramid_tiled_routes_multigrid():
     ft = hs_pyramid_tiled(i1, i2, cfg, PyramidConfig(levels=1), mesh=mesh)
     fu = hs_solve(i1, i2, cfg)
     assert float(jnp.abs(ft.u - fu.u).max()) <= 5e-6
-    with pytest.raises(ValueError, match="levels"):
-        hs_pyramid_tiled(i1, i2, cfg, PyramidConfig(levels=3), mesh=mesh)
+    ft3 = hs_pyramid_tiled(i1, i2, cfg, PyramidConfig(levels=3), mesh=mesh)
+    fu3 = hs_pyramid(i1, i2, cfg, PyramidConfig(levels=3))
+    assert float(jnp.abs(ft3.u - fu3.u).max()) <= 5e-6
 
 
 def test_tiled_multigrid_guards():
@@ -194,8 +196,6 @@ def test_tiled_multigrid_guards():
 
     mesh = make_mesh(MeshConfig(batch=1, y=2, x=4))
     i = jnp.zeros((4, 32, 64), jnp.float32)
-    with pytest.raises(ValueError, match="single"):
-        hs_solve_tiled(i, i, HSConfig(solver="multigrid"), mesh=mesh)
     with pytest.raises(ValueError, match="GSPMD"):
         hs_solve_tiled(i[0], i[0], HSConfig(solver="multigrid"), mesh=mesh,
                        halo_impl="rdma")
