@@ -1,0 +1,408 @@
+"""VMEM-resident whole-solve kernel: ONE launch, banded temporaries.
+
+The whole-image VMEM path (kernels/jacobi._sweeps_vmem) is the fastest
+formulation per sweep but its _kernel_step temporaries are FULL-IMAGE
+arrays, so its residency class caps at ~1.4 Mpx fp32 (17 full arrays
+against the 100 MB budget) — just below the 1080p headline frame. The
+banded megakernel (kernels/solve_fused.py) covers the rest but pays per
+grid step: u/v window DMAs, halo-slab fetches, sigma rows of redundant
+halo compute, and `where` true-edge masks every sweep.
+
+This module closes the gap with a third schedule, for frames whose
+*arrays* fit VMEM even though the whole 17-array working set does not
+(~1.4-2.6 Mpx fp32 — exactly the HD class):
+
+  * ONE `pallas_call`, grid=(), for derivatives AND every sweep.
+  * Residents: the four loop-invariant fields + two u/v ping-pong pairs
+    (out refs + scratch) = 8 full (hp, wp) arrays ~ 67 MB at 1080p.
+  * The frames stay in HBM (memory_space=ANY); the in-kernel derivative
+    stage DMAs one (band + sub, wp) window per band, computes the band's
+    Ex/Ey/Et/1/den with the kernels/derivatives.py association order, and
+    writes it into the resident field scratch. No derivative launch, no
+    field HBM round-trip (saves ~66 MB of traffic and one dispatch).
+  * Sweeps iterate bands with *band-sized* temporaries: vertical
+    neighbors are direct +/-1-row static slices of the resident source
+    buffer — no halo slabs, no redundant halo compute, and no `where`
+    masks (the true-edge clamp is built from concat slices at the two
+    edge bands; interior bands read exact neighbors). Lane-dim clamps
+    are the usual slice+concat, with a single `where` only when w < wp.
+  * Sweep k reads buffer A entirely and writes buffer B (Jacobi
+    order-independence), so band order inside a sweep is free; the loop
+    runs pairs of sweeps in a `lax.fori_loop` whose state lives in the
+    refs (never in carries — 40% penalty, docs/PERFORMANCE.md), with the
+    buffer parity chosen so the final sweep lands in the output refs.
+  * Zero-init first sweep is algebraically shortcut: from u = v = 0 the
+    oracle's first step is exactly u1 = -Ex*(Et/den), v1 = -Ey*(Et/den)
+    (neighbor_avg(0) == 0), written straight to the first target buffer
+    — no zero fill, no dummy source.
+
+HBM traffic for an n-sweep solve: read i1, i2 once, write u, v once
+(~33 MB at 1080p ~ 40 us) — the solve is VPU-bound, and each op covers
+band*wp pixels, amortizing Mosaic's per-op fixed cost best at the fewest
+bands that fit (the picker takes the smallest nb under the budget).
+
+Same arithmetic association order as ops/stencils.py (derivatives,
+neighbor_avg, jacobi_step), so the oracle-equivalence chain (SURVEY.md §4
+rung 4) extends through it; gradients ride the same whole-solve
+custom_vjp scheme (kernel forward, jnp-twin backward) as
+kernels/solve_fused.py. Replaces the reference's per-iteration kernel
+relaunch + ping-pong readback (SURVEY.md §3.1 R4/R5) with a single
+device-resident program.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opticalflowhs_tpu.kernels.jacobi import (
+    _LANE,
+    _cshift,
+    _round_up,
+    _sublane,
+    pad_to_tiles,
+)
+from opticalflowhs_tpu.kernels.solve_fused import _jnp_twin
+
+# Residency accounting: 4 fields + 4 u/v ping-pong arrays of (hp, wp), plus
+# ~_TEMP_ARRAYS live (band+2, wp) temporaries inside a band step and the
+# two deriv window buffers. The limit leaves Mosaic headroom under the
+# 128 MB v5e VMEM.
+_RESIDENT_ARRAYS = 8
+_TEMP_ARRAYS = 10
+_LIMIT = int(os.environ.get("HSFLOW_RESIDENT_VMEM", str(118 * 1024 * 1024)))
+_FORCE_NB = int(os.environ.get("HSFLOW_RESIDENT_NB", "0"))  # 0 = auto
+
+
+def pick_geometry(h: int, w: int, dtype):
+    """Smallest band count whose residency estimate fits the budget.
+
+    Returns (nb, band, hp, wp) or None. Fewer bands = larger per-op arrays
+    = better amortization of Mosaic's per-op fixed cost (docs/PERFORMANCE.md
+    §"per-op fixed cost"), so the first fit wins.
+    """
+    sub = _sublane(dtype)
+    nbytes = jnp.dtype(dtype).itemsize
+    wp = _round_up(w, _LANE)
+    h_units = -(-h // sub)
+    for nb in range(1, h_units + 1):
+        if _FORCE_NB and nb != _FORCE_NB:
+            continue
+        units = -(-h_units // nb)
+        band = units * sub
+        hp = band * nb
+        resident = _RESIDENT_ARRAYS * hp * wp * nbytes
+        temps = _TEMP_ARRAYS * (band + 2 * sub) * wp * nbytes
+        deriv_win = 2 * (band + sub) * wp * nbytes
+        if _FORCE_NB or resident + temps + deriv_win <= _LIMIT:
+            # a forced band count bypasses the budget estimate — it is an
+            # experimentation knob; Mosaic's real allocator is the arbiter
+            return nb, band, hp, wp
+    return None
+
+
+def _vshift_reads(src, r0: int, band: int, hp: int):
+    """(up, c, dn) band slices of a resident (hp, wp) ref: c = rows
+    [r0, r0+band), up = c's i-1 neighbors, dn = i+1, clamped at the ARRAY
+    edges (rows 0 and hp-1). The true-edge clamp at row h-1 < hp-1 (bottom
+    pad) is applied by the caller's mask; clamping at hp-1 is exact when
+    h == hp and garbage-safe otherwise (pad rows are never read by true
+    pixels once the caller masks row h-1)."""
+    c = src[r0 : r0 + band]
+    if r0 == 0:
+        up = jnp.concatenate([src[0:1], src[0 : band - 1]], axis=0)
+    else:
+        up = src[r0 - 1 : r0 + band - 1]
+    if r0 + band == hp:
+        dn = jnp.concatenate([src[r0 + 1 : hp], src[hp - 1 : hp]], axis=0)
+    else:
+        dn = src[r0 + 1 : r0 + band + 1]
+    return up, c, dn
+
+
+def _navg_band(src, r0: int, band: int, hp: int, m_bot, m_rt):
+    """ops.stencils.neighbor_avg on band rows of a resident buffer — same
+    separable [1,2,1] association order; m_bot/m_rt are the true-edge masks
+    for the bottom-pad and right-pad cases (None when edge-aligned)."""
+    up, c, dn = _vshift_reads(src, r0, band, hp)
+    if m_bot is not None:
+        dn = jnp.where(m_bot, c, dn)
+    t = up + 2.0 * c + dn
+    rt = _cshift(t, 1, 1)
+    if m_rt is None:
+        lf = _cshift(t, t.shape[1] - 1, 1)
+    else:
+        lf = jnp.where(m_rt, t, _cshift(t, t.shape[1] - 1, 1))
+    s = rt + 2.0 * t + lf
+    return s * (1.0 / 12.0) - c * (1.0 / 3.0)
+
+
+def _resident_kernel(i1_hbm, i2_hbm, u0_hbm, v0_hbm,
+                     uo_ref, vo_ref,
+                     ex_s, ey_s, et_s, invd_s, us_ref, vs_ref,
+                     w1_ref, w2_ref, sem, *,
+                     nb: int, band: int, hp: int, wp: int, h: int, w: int,
+                     sub: int, n_sweeps: int, alpha2: float, variant: str,
+                     zero_init: bool):
+    gc = jax.lax.broadcasted_iota(jnp.int32, (band, wp), 1)
+    m_rt = None if w == wp else gc == w - 1
+    # The true bottom edge lives in the LAST band (hp - h < sublane <= band).
+    last_r0 = (nb - 1) * band
+    if h == hp:
+        m_bot_last = None  # array edge == true edge: concat clamp is exact
+    else:
+        gr = last_r0 + jax.lax.broadcasted_iota(jnp.int32, (band, wp), 0)
+        m_bot_last = gr == h - 1
+
+    def lc(a):  # a(j+1), clamped at the true right edge
+        if m_rt is None:
+            return _cshift(a, wp - 1, 1)
+        return jnp.where(m_rt, a, _cshift(a, wp - 1, 1))
+
+    # ---- stage 1: in-kernel derivatives (hs_cube), band by band ----------
+    # Window rows [r0, r0+band+1) of each frame (one extra row for the i+1
+    # reads), DMA'd from HBM through the (band+sub, wp) scratch windows.
+    def deriv_band(b):
+        r0 = b * band
+        last = b == nb - 1
+        rows = band if last else band + 1
+        rows_dma = min(_round_up(rows, sub), hp - r0)
+        for src, dst in ((i1_hbm, w1_ref), (i2_hbm, w2_ref)):
+            cp = pltpu.make_async_copy(
+                src.at[pl.ds(r0, rows_dma)], dst.at[pl.ds(0, rows_dma)], sem
+            )
+            cp.start()
+            cp.wait()
+
+        def up(a, awin):
+            """a(i+1) on band rows, clamped at the true bottom edge h-1.
+            awin = the (band+1)-row window holding row r0+band, or None for
+            the last band (clamp at the array edge + mask fix for pad)."""
+            if awin is not None:
+                return awin[1 : band + 1]
+            sh = jnp.concatenate([a[1:band], a[band - 1 : band]], axis=0)
+            if m_bot_last is not None:
+                return jnp.where(m_bot_last, a, sh)
+            return sh
+
+        f1 = w1_ref[0:band]
+        f2 = w2_ref[0:band]
+        f1w = None if last else w1_ref[0 : band + 1]
+        f2w = None if last else w2_ref[0 : band + 1]
+        ex = jnp.zeros_like(f1)
+        ey = jnp.zeros_like(f1)
+        for f, fw in ((f1, f1w), (f2, f2w)):
+            fr = up(f, fw)
+            fc = lc(f)
+            frc = lc(fr)
+            ex = ex + (fc - f) + (frc - fr)
+            ey = ey + (fr - f) + (frc - fc)
+        ex = ex * 0.25
+        ey = ey * 0.25
+        d = f2 - f1
+        dr = up(d, None if last else f2w - f1w)
+        et = 0.25 * (d + dr + lc(d) + lc(dr))
+        invd = 1.0 / (alpha2 + ex * ex + ey * ey)
+        sl = pl.ds(r0, band)
+        ex_s[sl] = ex
+        ey_s[sl] = ey
+        et_s[sl] = et
+        invd_s[sl] = invd
+
+    for b in range(nb):
+        deriv_band(b)
+
+    # ---- stage 2: sweeps, ping-ponging between (us, vs) and (uo, vo) ----
+    def sweep(su, sv, du, dv):
+        for b in range(nb):
+            r0 = b * band
+            m_bot = m_bot_last if r0 == last_r0 else None
+            ubar = _navg_band(su, r0, band, hp, m_bot, m_rt)
+            vbar = _navg_band(sv, r0, band, hp, m_bot, m_rt)
+            sl = pl.ds(r0, band)
+            ex = ex_s[sl]
+            ey = ey_s[sl]
+            frac = (ex * ubar + ey * vbar + et_s[sl]) * invd_s[sl]
+            du[sl] = ubar - ex * frac
+            dv[sl] = vbar - ey * frac
+
+    def first_sweep_zero(du, dv):
+        # exact oracle first step from u = v = 0 (neighbor_avg(0) == 0)
+        for b in range(nb):
+            sl = pl.ds(b * band, band)
+            ex = ex_s[sl]
+            ey = ey_s[sl]
+            frac = et_s[sl] * invd_s[sl]
+            du[sl] = 0.0 - ex * frac
+            dv[sl] = 0.0 - ey * frac
+
+    if zero_init:
+        # first sweep -> T1; remaining m = n-1 alternate. Final must land
+        # in (uo, vo): T1 = out iff n is odd.
+        n = n_sweeps
+        t1 = (uo_ref, vo_ref) if n % 2 == 1 else (us_ref, vs_ref)
+        t2 = (us_ref, vs_ref) if n % 2 == 1 else (uo_ref, vo_ref)
+        first_sweep_zero(*t1)
+        m = n - 1
+    else:
+        # warm start: DMA u0/v0 into the start buffer; n sweeps alternate
+        # from there. Final lands in out iff start buffer == out for even n.
+        n = n_sweeps
+        t1 = (uo_ref, vo_ref) if n % 2 == 0 else (us_ref, vs_ref)
+        t2 = (us_ref, vs_ref) if n % 2 == 0 else (uo_ref, vo_ref)
+        for src, dst in ((u0_hbm, t1[0]), (v0_hbm, t1[1])):
+            cp = pltpu.make_async_copy(src, dst, sem)
+            cp.start()
+            cp.wait()
+        m = n
+
+    def pair(_, x):
+        sweep(t1[0], t1[1], t2[0], t2[1])
+        sweep(t2[0], t2[1], t1[0], t1[1])
+        return x
+
+    jax.lax.fori_loop(0, m // 2, pair, 0, unroll=False)
+    if m % 2 == 1:
+        sweep(t1[0], t1[1], t2[0], t2[1])
+
+
+def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
+    h, w = i1.shape
+    nb, band, hp, wp = geom
+    sub = _sublane(i1.dtype)
+    f1 = pad_to_tiles(i1, hp, wp)
+    f2 = pad_to_tiles(i2, hp, wp)
+    zero_init = u0 is None
+    if zero_init:
+        u0p = jnp.zeros((8, wp), i1.dtype)  # never read
+        v0p = u0p
+    else:
+        u0p = pad_to_tiles(u0.astype(i1.dtype), hp, wp)
+        v0p = pad_to_tiles(v0.astype(i1.dtype), hp, wp)
+    out = jax.ShapeDtypeStruct((hp, wp), i1.dtype)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    u, v = pl.pallas_call(
+        functools.partial(
+            _resident_kernel, nb=nb, band=band, hp=hp, wp=wp, h=h, w=w,
+            sub=sub, n_sweeps=n_sweeps, alpha2=float(alpha) * float(alpha),
+            variant=variant, zero_init=zero_init,
+        ),
+        out_shape=(out, out),
+        in_specs=[any_spec] * 4,
+        out_specs=(vmem, vmem),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), i1.dtype),          # ex
+            pltpu.VMEM((hp, wp), i1.dtype),          # ey
+            pltpu.VMEM((hp, wp), i1.dtype),          # et
+            pltpu.VMEM((hp, wp), i1.dtype),          # 1/den
+            pltpu.VMEM((hp, wp), i1.dtype),          # u scratch
+            pltpu.VMEM((hp, wp), i1.dtype),          # v scratch
+            pltpu.VMEM((band + sub, wp), i1.dtype),  # frame window 1
+            pltpu.VMEM((band + sub, wp), i1.dtype),  # frame window 2
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_LIMIT + 8 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(f1, f2, u0p, v0p)
+    return u[:h, :w], v[:h, :w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _solve_zero_ad(i1, i2, alpha, n_sweeps, variant, geom, interpret):
+    return _solve_impl(i1, i2, None, None, alpha, n_sweeps, variant, geom,
+                       interpret)
+
+
+def _solve_zero_fwd(i1, i2, alpha, n_sweeps, variant, geom, interpret):
+    out = _solve_impl(i1, i2, None, None, alpha, n_sweeps, variant, geom,
+                      interpret)
+    return out, (i1, i2)
+
+
+def _solve_zero_bwd(alpha, n_sweeps, variant, geom, interpret, res, ct):
+    i1, i2 = res
+    _, vjp = jax.vjp(
+        lambda a, b: _jnp_twin(a, b, None, None, alpha, n_sweeps, variant),
+        i1, i2,
+    )
+    return vjp(ct)
+
+
+_solve_zero_ad.defvjp(_solve_zero_fwd, _solve_zero_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _solve_warm_ad(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
+    return _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom,
+                       interpret)
+
+
+def _solve_warm_fwd(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
+    out = _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom,
+                      interpret)
+    return out, (i1, i2, u0, v0)
+
+
+def _solve_warm_bwd(alpha, n_sweeps, variant, geom, interpret, res, ct):
+    i1, i2, u0, v0 = res
+    _, vjp = jax.vjp(
+        lambda a, b, u, v: _jnp_twin(a, b, u, v, alpha, n_sweeps, variant),
+        i1, i2, u0, v0,
+    )
+    return vjp(ct)
+
+
+_solve_warm_ad.defvjp(_solve_warm_fwd, _solve_warm_bwd)
+
+
+def applicable(i1, n_sweeps: int, variant: str):
+    """Geometry tuple when the resident schedule covers this solve, else
+    None. Covers 2-D fp32/bf16 frames whose 8-array residency + band
+    temporaries fit the budget; the central variant's i-1 derivative read
+    is not plumbed through the banded window (hs_cube is the default and
+    the reference's estimator, SURVEY.md §2.5)."""
+    if i1.ndim != 2 or n_sweeps < 1 or variant != "hs_cube":
+        return None
+    return pick_geometry(*i1.shape, i1.dtype)
+
+
+def hs_solve_resident(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    alpha: float,
+    n_sweeps: int,
+    variant: str = "hs_cube",
+    u0: jnp.ndarray | None = None,
+    v0: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+):
+    """Whole HS solve (derivatives + n sweeps) in ONE Pallas launch with
+    VMEM-resident fields and flow buffers.
+
+    Returns (u, v), or None when the resident schedule does not apply
+    (batched input, frame too large for residency, central variant); the
+    caller falls back to the fused/banded paths. Exact twin of the other
+    backends (same stencil association order); differentiable via the
+    whole-solve custom_vjp against the jnp oracle twin.
+    """
+    if (u0 is None) != (v0 is None):
+        raise ValueError("u0 and v0 must be given together")
+    geom = applicable(i1, n_sweeps, variant)
+    if geom is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    alpha = float(alpha)
+    if u0 is None:
+        return _solve_zero_ad(i1, i2, alpha, n_sweeps, variant, geom,
+                              interpret)
+    return _solve_warm_ad(i1, i2, u0, v0, alpha, n_sweeps, variant, geom,
+                          interpret)

@@ -59,6 +59,25 @@ def fused_solve_enabled(iters: int, batched: bool = False) -> bool:
     return not batched and iters >= 64
 
 
+def resident_solve_enabled(iters: int) -> bool:
+    """Route through the VMEM-resident whole-solve kernel
+    (kernels/solve_resident.py)?
+
+    HSFLOW_RESIDENT_SOLVE: "1" forces on, "0" forces off; the default
+    "auto" enables it for any fixed-count single-frame Jacobi solve — it
+    strictly removes launches, field HBM round-trips, window DMAs, halo
+    redundancy, and per-sweep edge masks relative to the other schedules
+    (hardware A/B: tools/hw_resident_ab.py), and hs_solve_resident
+    returns None outside its residency class so the fallback chain is
+    unchanged."""
+    import os
+
+    mode = os.environ.get("HSFLOW_RESIDENT_SOLVE", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return iters >= 2
+
+
 def precompute(i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig):
     """Derivatives + hoisted 1/(alpha^2 + Ex^2 + Ey^2) (SURVEY.md §3.2).
 
@@ -214,6 +233,30 @@ def _hs_solve_impl(
 ) -> Flow:
     import os
 
+    if (
+        cfg.solver == "jacobi"
+        and cfg.tol == 0  # the resident kernel bakes a fixed sweep schedule
+        and resolve_backend(cfg.backend) == "pallas"
+        and resident_solve_enabled(cfg.iters)
+        and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
+    ):
+        # VMEM-resident whole-solve kernel (kernels/solve_resident.py):
+        # derivatives + every sweep in ONE launch, fields and flow buffers
+        # resident in VMEM. Returns None outside its residency class.
+        from opticalflowhs_tpu.kernels.solve_resident import hs_solve_resident
+
+        dtype = jnp.dtype(cfg.dtype)
+        out = hs_solve_resident(
+            i1.astype(dtype),
+            i2.astype(dtype),
+            cfg.alpha,
+            cfg.iters,
+            cfg.deriv_variant,
+            u0=u0.astype(dtype) if with_init else None,
+            v0=v0.astype(dtype) if with_init else None,
+        )
+        if out is not None:
+            return Flow(*out)
     if (
         cfg.solver == "jacobi"
         and cfg.tol == 0  # the fused pipeline bakes a fixed sweep schedule

@@ -1,0 +1,133 @@
+"""VMEM-resident whole-solve kernel (kernels/solve_resident.py) vs the jnp
+oracle — same chain as test_solve_fused.py (SURVEY.md §4 rung 4): the
+interpret-mode kernel on CPU must reproduce ops/stencils arithmetic to
+~1 ulp, across band counts, pad geometries, sweep parities, and warm
+starts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import opticalflowhs_tpu.kernels.solve_resident as sr
+from opticalflowhs_tpu.ops import stencils
+
+TOL = 2e-6
+
+
+def _oracle(i1, i2, alpha, n, variant="hs_cube", u0=None, v0=None):
+    ex, ey, et = stencils.derivatives(i1, i2, variant)
+    invd = 1.0 / (alpha * alpha + ex * ex + ey * ey)
+    u = jnp.zeros_like(ex) if u0 is None else u0
+    v = jnp.zeros_like(ex) if v0 is None else v0
+    for _ in range(n):
+        u, v = stencils.jacobi_step(u, v, ex, ey, et, invd)
+    return u, v
+
+
+def _frames(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32)),
+    )
+
+
+@pytest.mark.parametrize("nb", [1, 2, 3])
+@pytest.mark.parametrize(
+    "shape,n",
+    [
+        ((192, 128), 11),   # aligned both dims
+        ((200, 120), 12),   # bottom + right pad
+        ((131, 130), 8),    # odd everything
+        ((96, 256), 1),     # single sweep (zero-init shortcut only)
+        ((96, 256), 2),     # shortcut + one alternation
+    ],
+)
+def test_matches_oracle(shape, n, nb, monkeypatch):
+    monkeypatch.setattr(sr, "_FORCE_NB", nb)
+    i1, i2 = _frames(*shape)
+    out = sr.hs_solve_resident(i1, i2, 0.5, n, interpret=True)
+    assert out is not None
+    geom = sr.pick_geometry(*shape, jnp.float32)
+    assert geom[0] == nb
+    ur, vr = _oracle(i1, i2, 0.5, n)
+    assert float(jnp.abs(out[0] - ur).max()) <= TOL
+    assert float(jnp.abs(out[1] - vr).max()) <= TOL
+
+
+def test_sweep_parities(monkeypatch):
+    monkeypatch.setattr(sr, "_FORCE_NB", 2)
+    # even/odd totals land in the output refs through different ping-pong
+    # parities — both must be exact
+    i1, i2 = _frames(160, 130, seed=3)
+    for n in (4, 5, 6, 7):
+        out = sr.hs_solve_resident(i1, i2, 0.3, n, interpret=True)
+        ur, vr = _oracle(i1, i2, 0.3, n)
+        assert float(jnp.abs(out[0] - ur).max()) <= TOL, n
+        assert float(jnp.abs(out[1] - vr).max()) <= TOL, n
+
+
+def test_warm_start(monkeypatch):
+    monkeypatch.setattr(sr, "_FORCE_NB", 2)
+    i1, i2 = _frames(192, 128, seed=1)
+    rng = np.random.default_rng(7)
+    u0 = jnp.asarray(rng.normal(0, 0.5, i1.shape).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(0, 0.5, i1.shape).astype(np.float32))
+    for n in (3, 4):
+        out = sr.hs_solve_resident(i1, i2, 0.5, n, u0=u0, v0=v0,
+                                   interpret=True)
+        ur, vr = _oracle(i1, i2, 0.5, n, u0=u0, v0=v0)
+        assert float(jnp.abs(out[0] - ur).max()) <= TOL, n
+        assert float(jnp.abs(out[1] - vr).max()) <= TOL, n
+
+
+def test_not_applicable_cases():
+    i1, i2 = _frames(64, 128)
+    # central variant: not plumbed through the banded deriv window
+    assert sr.hs_solve_resident(i1, i2, 0.5, 4, variant="central",
+                                interpret=True) is None
+    # batched input
+    assert sr.hs_solve_resident(i1[None], i2[None], 0.5, 4,
+                                interpret=True) is None
+    # beyond the residency class
+    assert sr.pick_geometry(10_000, 10_000, jnp.float32) is None
+
+
+def test_gradients_match_jnp_twin(monkeypatch):
+    monkeypatch.setattr(sr, "_FORCE_NB", 2)
+    i1, i2 = _frames(96, 128, seed=2)
+
+    def loss_kernel(a, b):
+        u, v = sr.hs_solve_resident(a, b, 0.5, 4, interpret=True)
+        return jnp.sum(u * u) + jnp.sum(v)
+
+    def loss_jnp(a, b):
+        ex, ey, et = stencils.derivatives(a, b)
+        invd = 1.0 / (0.25 + ex * ex + ey * ey)
+        u = jnp.zeros_like(ex)
+        v = jnp.zeros_like(ex)
+        for _ in range(4):
+            u, v = stencils.jacobi_step(u, v, ex, ey, et, invd)
+        return jnp.sum(u * u) + jnp.sum(v)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1))(i1, i2)
+    g2 = jax.grad(loss_jnp, argnums=(0, 1))(i1, i2)
+    for a, b in zip(g1, g2):
+        assert float(jnp.abs(a - b).max()) <= 1e-4
+
+
+def test_solver_routes_resident(monkeypatch):
+    # solver.hs_solve picks the resident path on the pallas backend when
+    # applicable, and it matches the jnp backend bitwise-ish
+    import opticalflowhs_tpu.solver as solver
+    from opticalflowhs_tpu.config import HSConfig
+
+    monkeypatch.setenv("HSFLOW_RESIDENT_SOLVE", "1")
+    i1, i2 = _frames(192, 128, seed=5)
+    cfg_p = HSConfig(alpha=0.5, iters=8, backend="pallas")
+    cfg_j = HSConfig(alpha=0.5, iters=8, backend="jnp")
+    fp = solver.hs_solve(i1, i2, cfg_p)
+    fj = solver.hs_solve(i1, i2, cfg_j)
+    assert float(jnp.abs(fp.u - fj.u).max()) <= TOL
+    assert float(jnp.abs(fp.v - fj.v).max()) <= TOL
