@@ -13,8 +13,11 @@ This module closes the gap with a third schedule, for frames whose
 (~1.4-2.6 Mpx fp32 — exactly the HD class):
 
   * ONE `pallas_call`, grid=(), for derivatives AND every sweep.
-  * Residents: the four loop-invariant fields + two u/v ping-pong pairs
-    (out refs + scratch) = 8 full (hp, wp) arrays ~ 67 MB at 1080p.
+  * Residents: the four loop-invariant fields (VMEM scratch) + two u/v
+    ping-pong pairs = 8 full (hp, wp) arrays ~ 67 MB at 1080p. The
+    ping-pong pairs are OUTPUT refs (the wrapper returns the pair the
+    final block wrote): scratch-ref loop state compiles pathologically
+    slowly in Mosaic (kernels/jacobi.py round-1 finding).
   * The frames stay in HBM (memory_space=ANY); the in-kernel derivative
     stage DMAs one (band + sub, wp) window per band, computes the band's
     Ex/Ey/Et/1/den with the kernels/derivatives.py association order, and
@@ -64,6 +67,7 @@ from opticalflowhs_tpu.kernels.jacobi import (
     _LANE,
     _cshift,
     _round_up,
+    _shift,
     _sublane,
     pad_to_tiles,
 )
@@ -77,6 +81,9 @@ _RESIDENT_ARRAYS = 8
 _TEMP_ARRAYS = 10
 _LIMIT = int(os.environ.get("HSFLOW_RESIDENT_VMEM", str(118 * 1024 * 1024)))
 _FORCE_NB = int(os.environ.get("HSFLOW_RESIDENT_NB", "0"))  # 0 = auto
+# sweeps per temporal block: each block runs s in-register sweeps per band
+# window before touching the ping-pong refs again (halo = round_up(s, sub))
+_BLOCK_S = int(os.environ.get("HSFLOW_RESIDENT_S", "16"))
 
 
 def pick_geometry(h: int, w: int, dtype):
@@ -96,61 +103,50 @@ def pick_geometry(h: int, w: int, dtype):
         units = -(-h_units // nb)
         band = units * sub
         hp = band * nb
+        s = max(1, min(_BLOCK_S, band))
+        sigma = 0 if nb == 1 else _round_up(s, sub)
         resident = _RESIDENT_ARRAYS * hp * wp * nbytes
-        temps = _TEMP_ARRAYS * (band + 2 * sub) * wp * nbytes
+        temps = _TEMP_ARRAYS * (band + 2 * sigma) * wp * nbytes
         deriv_win = 2 * (band + sub) * wp * nbytes
         if _FORCE_NB or resident + temps + deriv_win <= _LIMIT:
             # a forced band count bypasses the budget estimate — it is an
             # experimentation knob; Mosaic's real allocator is the arbiter
-            return nb, band, hp, wp
+            return nb, band, hp, wp, s, sigma
     return None
 
 
-def _vshift_reads(src, r0: int, band: int, hp: int):
-    """(up, c, dn) band slices of a resident (hp, wp) ref: c = rows
-    [r0, r0+band), up = c's i-1 neighbors, dn = i+1, clamped at the ARRAY
-    edges (rows 0 and hp-1). The true-edge clamp at row h-1 < hp-1 (bottom
-    pad) is applied by the caller's mask; clamping at hp-1 is exact when
-    h == hp and garbage-safe otherwise (pad rows are never read by true
-    pixels once the caller masks row h-1)."""
-    c = src[r0 : r0 + band]
-    if r0 == 0:
-        up = jnp.concatenate([src[0:1], src[0 : band - 1]], axis=0)
-    else:
-        up = src[r0 - 1 : r0 + band - 1]
-    if r0 + band == hp:
-        dn = jnp.concatenate([src[r0 + 1 : hp], src[hp - 1 : hp]], axis=0)
-    else:
-        dn = src[r0 + 1 : r0 + band + 1]
-    return up, c, dn
-
-
-def _navg_band(src, r0: int, band: int, hp: int, m_bot, m_rt):
-    """ops.stencils.neighbor_avg on band rows of a resident buffer — same
-    separable [1,2,1] association order; m_bot/m_rt are the true-edge masks
-    for the bottom-pad and right-pad cases (None when edge-aligned)."""
-    up, c, dn = _vshift_reads(src, r0, band, hp)
+def _navg_win(a, top_edge: bool, bot_edge: bool, m_bot, m_rt):
+    """ops.stencils.neighbor_avg on a band window — same separable [1,2,1]
+    association order. top_edge/bot_edge mark windows whose array edge IS
+    the true image edge (concat clamp, exact); other window edges use
+    rotates whose wrapped rows land in the decaying halo ring. m_bot fixes
+    the true bottom edge when it sits above pad rows; m_rt likewise for
+    the right edge (None when w == wp)."""
+    win = a.shape[0]
+    up = _cshift(a, 1, 0) if top_edge else _shift(a, 1, 0)
+    dn = _cshift(a, win - 1, 0) if bot_edge else _shift(a, win - 1, 0)
     if m_bot is not None:
-        dn = jnp.where(m_bot, c, dn)
-    t = up + 2.0 * c + dn
+        dn = jnp.where(m_bot, a, dn)
+    t = up + 2.0 * a + dn
     rt = _cshift(t, 1, 1)
     if m_rt is None:
         lf = _cshift(t, t.shape[1] - 1, 1)
     else:
         lf = jnp.where(m_rt, t, _cshift(t, t.shape[1] - 1, 1))
     s = rt + 2.0 * t + lf
-    return s * (1.0 / 12.0) - c * (1.0 / 3.0)
+    return s * (1.0 / 12.0) - a * (1.0 / 3.0)
 
 
 def _resident_kernel(i1_hbm, i2_hbm, u0_hbm, v0_hbm,
-                     uo_ref, vo_ref,
-                     ex_s, ey_s, et_s, invd_s, us_ref, vs_ref,
+                     ua_ref, va_ref, ub_ref, vb_ref,
+                     ex_s, ey_s, et_s, invd_s,
                      w1_ref, w2_ref, sem, *,
                      nb: int, band: int, hp: int, wp: int, h: int, w: int,
-                     sub: int, n_sweeps: int, alpha2: float, variant: str,
-                     zero_init: bool):
+                     sub: int, s_blk: int, sigma: int, n_sweeps: int,
+                     alpha2: float, variant: str, zero_init: bool):
     gc = jax.lax.broadcasted_iota(jnp.int32, (band, wp), 1)
     m_rt = None if w == wp else gc == w - 1
+    m_rt_full = m_rt  # sweep windows rebuild it at their own row count
     # The true bottom edge lives in the LAST band (hp - h < sublane <= band).
     last_r0 = (nb - 1) * band
     if h == hp:
@@ -217,63 +213,108 @@ def _resident_kernel(i1_hbm, i2_hbm, u0_hbm, v0_hbm,
     for b in range(nb):
         deriv_band(b)
 
-    # ---- stage 2: sweeps, ping-ponging between (us, vs) and (uo, vo) ----
-    def sweep(su, sv, du, dv):
+    # ---- stage 2: temporally-blocked sweeps in VMEM -----------------------
+    # Each block runs ns <= s_blk sweeps on per-band windows grown by sigma
+    # decay-halo rows toward interior neighbors (all ref reads/writes stay
+    # sublane-aligned); after k in-register sweeps the k outermost halo
+    # rings are garbage while the central band stays exact (ns <= sigma —
+    # the banded megakernel's order-independence argument), so each block
+    # writes back exactly its central band rows. Blocks ping-pong between
+    # (us, vs) and (uo, vo); the parity below lands the final block in the
+    # output refs.
+    def block(src_u, src_v, dst_u, dst_v, ns: int, shortcut: bool):
         for b in range(nb):
             r0 = b * band
-            m_bot = m_bot_last if r0 == last_r0 else None
-            ubar = _navg_band(su, r0, band, hp, m_bot, m_rt)
-            vbar = _navg_band(sv, r0, band, hp, m_bot, m_rt)
-            sl = pl.ds(r0, band)
-            ex = ex_s[sl]
-            ey = ey_s[sl]
-            frac = (ex * ubar + ey * vbar + et_s[sl]) * invd_s[sl]
-            du[sl] = ubar - ex * frac
-            dv[sl] = vbar - ey * frac
+            lo = sigma if b > 0 else 0
+            hi = sigma if b < nb - 1 else 0
+            w0 = r0 - lo
+            win = band + lo + hi
+            slw = pl.ds(w0, win)
+            exw = ex_s[slw]
+            eyw = ey_s[slw]
+            etw = et_s[slw]
+            invdw = invd_s[slw]
+            top_edge = b == 0
+            bot_edge = b == nb - 1
+            if bot_edge and h != hp:
+                grw = w0 + jax.lax.broadcasted_iota(jnp.int32, (win, wp), 0)
+                m_bot = grw == h - 1
+            else:
+                m_bot = None
+            if m_rt_full is None:
+                m_rt = None
+            else:
+                gcw = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
+                m_rt = gcw == w - 1
+            if shortcut:
+                # exact oracle first step from u = v = 0
+                # (neighbor_avg(0) == 0), valid at every window row
+                frac = etw * invdw
+                u = 0.0 - exw * frac
+                v = 0.0 - eyw * frac
+                k0 = 1
+            else:
+                u = src_u[slw]
+                v = src_v[slw]
+                k0 = 0
+            for _k in range(k0, ns):
+                ubar = _navg_win(u, top_edge, bot_edge, m_bot, m_rt)
+                vbar = _navg_win(v, top_edge, bot_edge, m_bot, m_rt)
+                frac = (exw * ubar + eyw * vbar + etw) * invdw
+                u = ubar - exw * frac
+                v = vbar - eyw * frac
+            slb = pl.ds(r0, band)
+            dst_u[slb] = u[lo : lo + band]
+            dst_v[slb] = v[lo : lo + band]
 
-    def first_sweep_zero(du, dv):
-        # exact oracle first step from u = v = 0 (neighbor_avg(0) == 0)
-        for b in range(nb):
-            sl = pl.ds(b * band, band)
-            ex = ex_s[sl]
-            ey = ey_s[sl]
-            frac = et_s[sl] * invd_s[sl]
-            du[sl] = 0.0 - ex * frac
-            dv[sl] = 0.0 - ey * frac
-
+    blocks = [min(s_blk, n_sweeps)]
+    left = n_sweeps - blocks[0]
+    while left > 0:
+        t = min(s_blk, left)
+        blocks.append(t)
+        left -= t
+    nblk = len(blocks)
+    # Block i writes buffer A when i is even, B when odd; the wrapper
+    # returns the pair the final block wrote. The ping-pong state lives in
+    # OUTPUT refs, never scratch — scratch-ref loop state compiles
+    # pathologically slowly in Mosaic (kernels/jacobi.py round-1 finding).
+    t1 = (ua_ref, va_ref)
+    t2 = (ub_ref, vb_ref)
     if zero_init:
-        # first sweep -> T1; remaining m = n-1 alternate. Final must land
-        # in (uo, vo): T1 = out iff n is odd.
-        n = n_sweeps
-        t1 = (uo_ref, vo_ref) if n % 2 == 1 else (us_ref, vs_ref)
-        t2 = (us_ref, vs_ref) if n % 2 == 1 else (uo_ref, vo_ref)
-        first_sweep_zero(*t1)
-        m = n - 1
+        block(None, None, t1[0], t1[1], blocks[0], shortcut=True)
     else:
-        # warm start: DMA u0/v0 into the start buffer; n sweeps alternate
-        # from there. Final lands in out iff start buffer == out for even n.
-        n = n_sweeps
-        t1 = (uo_ref, vo_ref) if n % 2 == 0 else (us_ref, vs_ref)
-        t2 = (us_ref, vs_ref) if n % 2 == 0 else (uo_ref, vo_ref)
-        for src, dst in ((u0_hbm, t1[0]), (v0_hbm, t1[1])):
+        # warm start: DMA u0/v0 into block 0's source buffer
+        for src, dst in ((u0_hbm, t2[0]), (v0_hbm, t2[1])):
             cp = pltpu.make_async_copy(src, dst, sem)
             cp.start()
             cp.wait()
-        m = n
+        block(t2[0], t2[1], t1[0], t1[1], blocks[0], shortcut=False)
+    # full-depth middle blocks run as fori pairs; <= 2 leftovers (one odd
+    # full block and/or the shallower tail) are emitted statically
+    i = 1
+    full = 0
+    while i + full < nblk and blocks[i + full] == s_blk:
+        full += 1
+    pairs = full // 2
 
     def pair(_, x):
-        sweep(t1[0], t1[1], t2[0], t2[1])
-        sweep(t2[0], t2[1], t1[0], t1[1])
+        block(t1[0], t1[1], t2[0], t2[1], s_blk, False)
+        block(t2[0], t2[1], t1[0], t1[1], s_blk, False)
         return x
 
-    jax.lax.fori_loop(0, m // 2, pair, 0, unroll=False)
-    if m % 2 == 1:
-        sweep(t1[0], t1[1], t2[0], t2[1])
+    if pairs:
+        jax.lax.fori_loop(0, pairs, pair, 0)
+    i += 2 * pairs
+    while i < nblk:
+        src = t1 if i % 2 == 1 else t2
+        dst = t2 if i % 2 == 1 else t1
+        block(src[0], src[1], dst[0], dst[1], blocks[i], False)
+        i += 1
 
 
 def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
     h, w = i1.shape
-    nb, band, hp, wp = geom
+    nb, band, hp, wp, s_blk, sigma = geom
     sub = _sublane(i1.dtype)
     f1 = pad_to_tiles(i1, hp, wp)
     f2 = pad_to_tiles(i2, hp, wp)
@@ -287,22 +328,21 @@ def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
     out = jax.ShapeDtypeStruct((hp, wp), i1.dtype)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    u, v = pl.pallas_call(
+    ua, va, ub, vb = pl.pallas_call(
         functools.partial(
             _resident_kernel, nb=nb, band=band, hp=hp, wp=wp, h=h, w=w,
-            sub=sub, n_sweeps=n_sweeps, alpha2=float(alpha) * float(alpha),
+            sub=sub, s_blk=s_blk, sigma=sigma, n_sweeps=n_sweeps,
+            alpha2=float(alpha) * float(alpha),
             variant=variant, zero_init=zero_init,
         ),
-        out_shape=(out, out),
+        out_shape=(out, out, out, out),  # u/v ping-pong pairs A and B
         in_specs=[any_spec] * 4,
-        out_specs=(vmem, vmem),
+        out_specs=(vmem, vmem, vmem, vmem),
         scratch_shapes=[
             pltpu.VMEM((hp, wp), i1.dtype),          # ex
             pltpu.VMEM((hp, wp), i1.dtype),          # ey
             pltpu.VMEM((hp, wp), i1.dtype),          # et
             pltpu.VMEM((hp, wp), i1.dtype),          # 1/den
-            pltpu.VMEM((hp, wp), i1.dtype),          # u scratch
-            pltpu.VMEM((hp, wp), i1.dtype),          # v scratch
             pltpu.VMEM((band + sub, wp), i1.dtype),  # frame window 1
             pltpu.VMEM((band + sub, wp), i1.dtype),  # frame window 2
             pltpu.SemaphoreType.DMA,
@@ -312,6 +352,9 @@ def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
         ),
         interpret=interpret,
     )(f1, f2, u0p, v0p)
+    # block i writes pair A when i is even; the final block is nblk-1
+    nblk = -(-n_sweeps // s_blk)
+    u, v = (ua, va) if nblk % 2 == 1 else (ub, vb)
     return u[:h, :w], v[:h, :w]
 
 

@@ -56,16 +56,19 @@ def test_matches_oracle(shape, n, nb, monkeypatch):
     assert float(jnp.abs(out[1] - vr).max()) <= TOL
 
 
-def test_sweep_parities(monkeypatch):
+@pytest.mark.parametrize("s_blk", [1, 3, 16])
+def test_sweep_parities_and_block_depths(monkeypatch, s_blk):
     monkeypatch.setattr(sr, "_FORCE_NB", 2)
-    # even/odd totals land in the output refs through different ping-pong
-    # parities — both must be exact
+    monkeypatch.setattr(sr, "_BLOCK_S", s_blk)
+    # even/odd totals, full/tail block mixes, and fori-pair vs static
+    # leftovers all land in the output refs through different ping-pong
+    # parities — every combination must be exact
     i1, i2 = _frames(160, 130, seed=3)
-    for n in (4, 5, 6, 7):
+    for n in (4, 5, 6, 7, 16, 17, 33):
         out = sr.hs_solve_resident(i1, i2, 0.3, n, interpret=True)
         ur, vr = _oracle(i1, i2, 0.3, n)
-        assert float(jnp.abs(out[0] - ur).max()) <= TOL, n
-        assert float(jnp.abs(out[1] - vr).max()) <= TOL, n
+        assert float(jnp.abs(out[0] - ur).max()) <= TOL, (s_blk, n)
+        assert float(jnp.abs(out[1] - vr).max()) <= TOL, (s_blk, n)
 
 
 def test_warm_start(monkeypatch):
