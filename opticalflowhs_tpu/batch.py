@@ -40,6 +40,28 @@ def _batched_solve_impl(
 
         from opticalflowhs_tpu.solver import fused_solve_enabled
 
+        from opticalflowhs_tpu.solver import resident_solve_enabled
+
+        if (
+            cfg.tol == 0  # fixed sweep schedule baked into the launch
+            and resident_solve_enabled(cfg.iters, batched=True)
+            and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
+        ):
+            # Batched VMEM-resident pipeline (kernels/solve_resident.py):
+            # grid over frames, one full resident solve per frame in a
+            # single launch; None outside its class (sub-HD or beyond
+            # residency).
+            from opticalflowhs_tpu.kernels.solve_resident import (
+                hs_solve_resident_batched,
+            )
+
+            dtype = jnp.dtype(cfg.dtype)
+            out = hs_solve_resident_batched(
+                i1.astype(dtype), i2.astype(dtype), cfg.alpha, cfg.iters,
+                cfg.deriv_variant,
+            )
+            if out is not None:
+                return Flow(*out)
         if (
             cfg.tol == 0  # the fused pipeline bakes a fixed sweep schedule
             and fused_solve_enabled(cfg.iters, batched=True)

@@ -137,13 +137,23 @@ def _navg_win(a, top_edge: bool, bot_edge: bool, m_bot, m_rt):
     return s * (1.0 / 12.0) - a * (1.0 / 3.0)
 
 
-def _resident_kernel(i1_hbm, i2_hbm, u0_hbm, v0_hbm,
-                     ua_ref, va_ref, ub_ref, vb_ref,
-                     ex_s, ey_s, et_s, invd_s,
-                     w1_ref, w2_ref, sem, *,
-                     nb: int, band: int, hp: int, wp: int, h: int, w: int,
-                     sub: int, s_blk: int, sigma: int, n_sweeps: int,
-                     alpha2: float, variant: str, zero_init: bool):
+def _resident_body(bsel, i1_hbm, i2_hbm, u0_hbm, v0_hbm,
+                   ua_ref, va_ref, ub_ref, vb_ref,
+                   ex_s, ey_s, et_s, invd_s,
+                   w1_ref, w2_ref, sem, uo_any, vo_any, *,
+                   nb: int, band: int, hp: int, wp: int, h: int, w: int,
+                   sub: int, s_blk: int, sigma: int, n_sweeps: int,
+                   alpha2: float, variant: str, zero_init: bool):
+    """Shared solve body. bsel = the batch index (None when unbatched) —
+    frame DMA sources index it; uo_any/vo_any are the batched (B, hp, wp)
+    HBM outputs the final ping-pong pair is DMA'd into (None when the
+    wrapper returns the VMEM pair directly)."""
+
+    def frame_src(ref, r0, rows):
+        if bsel is None:
+            return ref.at[pl.ds(r0, rows)]
+        return ref.at[bsel, pl.ds(r0, rows)]
+
     gc = jax.lax.broadcasted_iota(jnp.int32, (band, wp), 1)
     m_rt = None if w == wp else gc == w - 1
     m_rt_full = m_rt  # sweep windows rebuild it at their own row count
@@ -170,7 +180,7 @@ def _resident_kernel(i1_hbm, i2_hbm, u0_hbm, v0_hbm,
         rows_dma = min(_round_up(rows, sub), hp - r0)
         for src, dst in ((i1_hbm, w1_ref), (i2_hbm, w2_ref)):
             cp = pltpu.make_async_copy(
-                src.at[pl.ds(r0, rows_dma)], dst.at[pl.ds(0, rows_dma)], sem
+                frame_src(src, r0, rows_dma), dst.at[pl.ds(0, rows_dma)], sem
             )
             cp.start()
             cp.wait()
@@ -310,6 +320,38 @@ def _resident_kernel(i1_hbm, i2_hbm, u0_hbm, v0_hbm,
         dst = t2 if i % 2 == 1 else t1
         block(src[0], src[1], dst[0], dst[1], blocks[i], False)
         i += 1
+    if uo_any is not None:
+        final = t1 if nblk % 2 == 1 else t2
+        for src, dst in ((final[0], uo_any), (final[1], vo_any)):
+            cp = pltpu.make_async_copy(src, dst.at[bsel], sem)
+            cp.start()
+            cp.wait()
+
+
+def _resident_kernel(i1_hbm, i2_hbm, u0_hbm, v0_hbm,
+                     ua_ref, va_ref, ub_ref, vb_ref,
+                     ex_s, ey_s, et_s, invd_s,
+                     w1_ref, w2_ref, sem, **kw):
+    _resident_body(None, i1_hbm, i2_hbm, u0_hbm, v0_hbm,
+                   ua_ref, va_ref, ub_ref, vb_ref,
+                   ex_s, ey_s, et_s, invd_s,
+                   w1_ref, w2_ref, sem, None, None, **kw)
+
+
+def _resident_kernel_b(i1_hbm, i2_hbm,
+                       uo_any, vo_any, ua_ref, va_ref, ub_ref, vb_ref,
+                       ex_s, ey_s, et_s, invd_s,
+                       w1_ref, w2_ref, sem, **kw):
+    """Batched twin: grid=(B,), one full resident solve per frame — the
+    per-call fixed cost amortizes over the stack. Zero-init only (batch
+    entries always start from u = v = 0, like the fused batched path);
+    the VMEM ping-pong pairs are reused across frames and the final pair
+    is DMA'd into the (B, hp, wp) HBM outputs per frame."""
+    _resident_body(pl.program_id(0), i1_hbm, i2_hbm, None, None,
+                   ua_ref, va_ref, ub_ref, vb_ref,
+                   ex_s, ey_s, et_s, invd_s,
+                   w1_ref, w2_ref, sem, uo_any, vo_any,
+                   zero_init=True, **kw)
 
 
 def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
@@ -404,6 +446,107 @@ def _solve_warm_bwd(alpha, n_sweeps, variant, geom, interpret, res, ct):
 
 
 _solve_warm_ad.defvjp(_solve_warm_fwd, _solve_warm_bwd)
+
+
+# -- batched twin (config-2/4 video stacks) ------------------------------------
+
+
+def _solve_impl_batched(i1, i2, alpha, n_sweeps, variant, geom, interpret):
+    bsz, h, w = i1.shape
+    nb, band, hp, wp, s_blk, sigma = geom
+    sub = _sublane(i1.dtype)
+    f1 = pad_to_tiles(i1, hp, wp)
+    f2 = pad_to_tiles(i2, hp, wp)
+    outb = jax.ShapeDtypeStruct((bsz, hp, wp), i1.dtype)
+    out = jax.ShapeDtypeStruct((hp, wp), i1.dtype)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    res = pl.pallas_call(
+        functools.partial(
+            _resident_kernel_b, nb=nb, band=band, hp=hp, wp=wp, h=h, w=w,
+            sub=sub, s_blk=s_blk, sigma=sigma, n_sweeps=n_sweeps,
+            alpha2=float(alpha) * float(alpha), variant=variant,
+        ),
+        grid=(bsz,),
+        out_shape=(outb, outb, out, out, out, out),
+        in_specs=[any_spec] * 2,
+        out_specs=(any_spec, any_spec, vmem, vmem, vmem, vmem),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), i1.dtype),          # ex
+            pltpu.VMEM((hp, wp), i1.dtype),          # ey
+            pltpu.VMEM((hp, wp), i1.dtype),          # et
+            pltpu.VMEM((hp, wp), i1.dtype),          # 1/den
+            pltpu.VMEM((band + sub, wp), i1.dtype),  # frame window 1
+            pltpu.VMEM((band + sub, wp), i1.dtype),  # frame window 2
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_LIMIT + 8 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(f1, f2)
+    uo, vo = res[0], res[1]
+    return uo[:, :h, :w], vo[:, :h, :w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _solve_batched_ad(i1, i2, alpha, n_sweeps, variant, geom, interpret):
+    return _solve_impl_batched(i1, i2, alpha, n_sweeps, variant, geom,
+                               interpret)
+
+
+def _solve_batched_fwd(i1, i2, alpha, n_sweeps, variant, geom, interpret):
+    out = _solve_impl_batched(i1, i2, alpha, n_sweeps, variant, geom,
+                              interpret)
+    return out, (i1, i2)
+
+
+def _solve_batched_bwd(alpha, n_sweeps, variant, geom, interpret, res, ct):
+    from opticalflowhs_tpu.kernels.solve_fused import _jnp_twin_batched
+
+    i1, i2 = res
+    _, vjp = jax.vjp(
+        lambda a, b: _jnp_twin_batched(a, b, alpha, n_sweeps, variant),
+        i1, i2,
+    )
+    return vjp(ct)
+
+
+_solve_batched_ad.defvjp(_solve_batched_fwd, _solve_batched_bwd)
+
+
+def hs_solve_resident_batched(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    alpha: float,
+    n_sweeps: int,
+    variant: str = "hs_cube",
+    interpret: bool | None = None,
+):
+    """Batched resident whole solve for (B, H, W) stacks of banded-class
+    (HD+) frames: grid=(B,), one full VMEM-resident solve per frame in a
+    single launch, so the per-call fixed cost amortizes over the stack.
+    Returns (u, v) or None (sub-HD frames take the stacked-VMEM batched
+    kernel; frames beyond the residency class take the fused pipeline)."""
+    if (i1.ndim != 3 or i1.shape[0] == 0 or n_sweeps < 1
+            or variant != "hs_cube"):
+        return None
+    from opticalflowhs_tpu.kernels.jacobi import _BATCH_IMG_BYTES
+
+    bsz, h, w = i1.shape
+    sub = _sublane(i1.dtype)
+    wp = _round_up(w, _LANE)
+    nbytes = jnp.dtype(i1.dtype).itemsize
+    if _round_up(h, sub) * wp * nbytes <= _BATCH_IMG_BYTES:
+        return None  # stacked-VMEM class amortizes dispatch already
+    geom = pick_geometry(h, w, i1.dtype)
+    if geom is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _solve_batched_ad(i1, i2, float(alpha), n_sweeps, variant, geom,
+                             interpret)
 
 
 def applicable(i1, n_sweeps: int, variant: str):

@@ -59,23 +59,25 @@ def fused_solve_enabled(iters: int, batched: bool = False) -> bool:
     return not batched and iters >= 64
 
 
-def resident_solve_enabled(iters: int) -> bool:
+def resident_solve_enabled(iters: int, batched: bool = False) -> bool:
     """Route through the VMEM-resident whole-solve kernel
     (kernels/solve_resident.py)?
 
     HSFLOW_RESIDENT_SOLVE: "1" forces on, "0" forces off; the default
-    "auto" enables it for any fixed-count single-frame Jacobi solve — it
-    strictly removes launches, field HBM round-trips, window DMAs, halo
-    redundancy, and per-sweep edge masks relative to the other schedules
-    (hardware A/B: tools/hw_resident_ab.py), and hs_solve_resident
-    returns None outside its residency class so the fallback chain is
-    unchanged."""
+    "auto" enables the single-frame path for any fixed-count Jacobi solve
+    — it strictly removes launches, field HBM round-trips, window DMAs,
+    halo redundancy, and per-sweep edge masks relative to the other
+    schedules (hardware A/B: tools/hw_resident_ab.py), and
+    hs_solve_resident returns None outside its residency class so the
+    fallback chain is unchanged. The batched variant stays off in auto
+    until its hardware A/B against the batched-banded kernel (48.5
+    Gpx*sweeps/s at B2x1080p) lands."""
     import os
 
     mode = os.environ.get("HSFLOW_RESIDENT_SOLVE", "auto")
     if mode in ("0", "1"):
         return mode == "1"
-    return iters >= 2
+    return not batched and iters >= 2
 
 
 def precompute(i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig):

@@ -85,6 +85,33 @@ def test_warm_start(monkeypatch):
         assert float(jnp.abs(out[1] - vr).max()) <= TOL, n
 
 
+@pytest.mark.parametrize("nb", [1, 2])
+def test_batched_matches_singles(nb, monkeypatch):
+    monkeypatch.setattr(sr, "_FORCE_NB", nb)
+    # drop the stacked-class gate so small test frames take the batched
+    # resident path
+    import opticalflowhs_tpu.kernels.jacobi as jk
+
+    monkeypatch.setattr(jk, "_BATCH_IMG_BYTES", 0)
+    rng = np.random.default_rng(11)
+    i1 = jnp.asarray(rng.uniform(0, 1, (3, 96, 130)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (3, 96, 130)).astype(np.float32))
+    out = sr.hs_solve_resident_batched(i1, i2, 0.5, 7, interpret=True)
+    assert out is not None
+    for b in range(3):
+        ur, vr = _oracle(i1[b], i2[b], 0.5, 7)
+        assert float(jnp.abs(out[0][b] - ur).max()) <= TOL, b
+        assert float(jnp.abs(out[1][b] - vr).max()) <= TOL, b
+
+
+def test_batched_gates():
+    rng = np.random.default_rng(1)
+    i1 = jnp.asarray(rng.uniform(0, 1, (2, 64, 128)).astype(np.float32))
+    # sub-HD stacked-VMEM class: stays on the stacked kernel
+    assert sr.hs_solve_resident_batched(i1, i1, 0.5, 4,
+                                        interpret=True) is None
+
+
 def test_not_applicable_cases():
     i1, i2 = _frames(64, 128)
     # central variant: not plumbed through the banded deriv window
