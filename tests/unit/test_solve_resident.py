@@ -147,6 +147,22 @@ def test_gradients_match_jnp_twin(monkeypatch):
         assert float(jnp.abs(a - b).max()) <= 1e-4
 
 
+@pytest.mark.tpu
+def test_resident_exact_on_hardware():
+    # real-chip leg of the oracle chain: the compiled (non-interpret)
+    # resident kernel at a banded-class shape vs the jnp backend
+    import opticalflowhs_tpu.solver as solver
+    from opticalflowhs_tpu.config import HSConfig
+
+    i1, i2 = _frames(1088, 1920, seed=9)
+    fp = solver.hs_solve(i1, i2, HSConfig(alpha=0.5, iters=40,
+                                          backend="pallas"))
+    fj = solver.hs_solve(i1, i2, HSConfig(alpha=0.5, iters=40,
+                                          backend="jnp"))
+    assert float(jnp.abs(fp.u - fj.u).max()) == 0.0
+    assert float(jnp.abs(fp.v - fj.v).max()) == 0.0
+
+
 def test_solver_routes_resident(monkeypatch):
     # solver.hs_solve picks the resident path on the pallas backend when
     # applicable, and it matches the jnp backend bitwise-ish

@@ -43,11 +43,15 @@ def frames(h, w, seed=0):
 H, W, IT = 1088, 1920, 100
 i1, i2 = frames(H, W)
 
-fus_fn = jax.jit(lambda a, b: hs_solve_fused(a, b, 0.5, IT))
-u_ref, v_ref = fus_fn(i1, i2)
-float(jnp.sum(u_ref))
+from opticalflowhs_tpu.config import HSConfig
+from opticalflowhs_tpu.solver import hs_solve
 
-for nb, s in ((2, 8), (2, 16), (3, 8), (2, 4)):
+fj = hs_solve(i1, i2, HSConfig(alpha=0.5, iters=IT, backend="jnp"))
+u_ref, v_ref = fj.u, fj.v
+float(jnp.sum(u_ref))
+print("jnp reference ready", flush=True)
+
+for nb, s in ((2, 8), (2, 16), (2, 4)):
     sr._FORCE_NB = nb
     sr._BLOCK_S = s
     g = sr.pick_geometry(H, W, jnp.float32)
