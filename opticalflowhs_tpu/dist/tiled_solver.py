@@ -52,16 +52,23 @@ def _tile_masks(row0, col0, shape, h: int, w: int):
 
 
 def _tile_body_rdma(
-    i1t: jnp.ndarray, i2t: jnp.ndarray, cfg: HSConfig, s: int, h: int, w: int
+    i1t: jnp.ndarray, i2t: jnp.ndarray, cfg: HSConfig, s: int, h: int, w: int,
+    mx: int = 1,
 ) -> Flow:
     """Per-chip body for the fused remote-DMA path (SURVEY.md §2c advanced):
     ONE Pallas launch runs all sweeps, exchanging u/v halos in-kernel every
-    s sweeps with the transfer overlapped against interior compute. 1-D row
-    decomposition (mesh x == 1); loop-invariant derivative fields get their
-    halo once here via ppermute."""
+    s sweeps. 1-D row decomposition overlaps the transfer against interior
+    compute (kernels/rdma_halo.ring_fused_sweeps); 2-D ("y","x") meshes take
+    the two-phase row+column-ring kernel (ring_fused_sweeps_2d, 128-column
+    lane-aligned x halos). Loop-invariant derivative fields get their halo
+    once here via ppermute."""
     from opticalflowhs_tpu.dist.halo import _pad_axis
     from opticalflowhs_tpu.kernels.jacobi import _round_up as round_up
-    from opticalflowhs_tpu.kernels.rdma_halo import ring_fused_sweeps
+    from opticalflowhs_tpu.kernels.rdma_halo import (
+        _LC,
+        ring_fused_sweeps,
+        ring_fused_sweeps_2d,
+    )
 
     dtype = jnp.dtype(cfg.dtype)
     i1t = i1t.astype(dtype)
@@ -72,12 +79,26 @@ def _tile_body_rdma(
     sigma = round_up(sblk, 8)
     f1 = _pad_axis(i1t, sigma + 1, "y", i1t.ndim - 2)
     f2 = _pad_axis(i2t, sigma + 1, "y", i2t.ndim - 2)
+    u = jnp.zeros_like(i1t)
+    v = jnp.zeros_like(i1t)
+    if mx > 1:
+        col0 = lax.axis_index("x") * tw
+        f1 = _pad_axis(f1, _LC + 1, "x", f1.ndim - 1)
+        f2 = _pad_axis(f2, _LC + 1, "x", f2.ndim - 1)
+        dmasks = _tile_masks(row0 - (sigma + 1), col0 - (_LC + 1),
+                             f1.shape, h, w)
+        ex, ey, et = stencils.derivatives_masked(f1, f2, dmasks,
+                                                 cfg.deriv_variant)
+        ex, ey, et = (a[1:-1, 1:-1] for a in (ex, ey, et))
+        invd = 1.0 / (cfg.alpha * cfg.alpha + ex * ex + ey * ey)
+        u, v = ring_fused_sweeps_2d(
+            u, v, ex, ey, et, invd, cfg.iters, sblk, row0, col0, h, w
+        )
+        return Flow(u, v)
     dmasks = _tile_masks(row0 - (sigma + 1), 0, f1.shape, h, w)
     ex, ey, et = stencils.derivatives_masked(f1, f2, dmasks, cfg.deriv_variant)
     ex, ey, et = (a[1:-1] for a in (ex, ey, et))
     invd = 1.0 / (cfg.alpha * cfg.alpha + ex * ex + ey * ey)
-    u = jnp.zeros_like(i1t)
-    v = jnp.zeros_like(i1t)
     u, v = ring_fused_sweeps(
         u, v, ex, ey, et, invd, cfg.iters, sblk, row0, h, w, axis_name="y"
     )
@@ -295,7 +316,8 @@ def _tiled_robust_impl(i1, i2, cfg: HSConfig, mesh: Mesh,
 def _tiled_impl(i1, i2, cfg: HSConfig, s: int, mesh: Mesh, batched: bool,
                 h: int, w: int, halo_impl: str = "ppermute"):
     spec = P("batch", "y", "x") if batched else P("y", "x")
-    body = _tile_body_rdma if halo_impl == "rdma" else _tile_body
+    body = (partial(_tile_body_rdma, mx=mesh.shape["x"])
+            if halo_impl == "rdma" else _tile_body)
     if batched:
         if halo_impl == "rdma":
             # vmap has no batching rule for the in-kernel DMA primitives;
@@ -346,11 +368,15 @@ def hs_solve_tiled(
     padding) must be at least halo_sweeps+1 pixels on a side.
 
     halo_impl: "ppermute" (default — XLA collective between Pallas
-    launches) or "rdma" (fused in-kernel remote-DMA exchange overlapped
-    with compute; requires TPU hardware and a row-decomposed mesh, x == 1).
-    "rdma" accepts (B, H, W) stacks too: local lanes unroll into one fused
-    ring launch each, and the mesh "batch" axis composes (MESH-dict device
-    ids keep each batch group's y-ring disjoint).
+    launches) or "rdma" (fused in-kernel remote-DMA exchange; requires TPU
+    hardware). Row-decomposed meshes (x == 1) overlap the transfer with
+    the interior sweep; 2-D ("y","x") meshes exchange along BOTH rings
+    per block (two-phase: sigma-row y strips, then full-height 128-column
+    lane-aligned x strips carrying the fresh corners — tile widths are
+    padded to 128-multiples). "rdma" accepts (B, H, W) stacks too: local
+    lanes unroll into one fused ring launch each, and the mesh "batch"
+    axis composes (MESH-dict device ids keep each batch group's rings
+    disjoint).
 
     cfg.solver="sor" tiles too (per-shard Pallas or jnp body; colors keyed
     by global parity): each exchange block moves a 4*halo_sweeps-px halo
@@ -401,8 +427,6 @@ def hs_solve_tiled(
             "fused rdma kernel bakes a fixed sweep schedule)"
         )
     if halo_impl == "rdma":
-        if mesh.shape["x"] != 1:
-            raise ValueError("halo_impl='rdma' needs a row-decomposed mesh (x == 1)")
         if jax.default_backend() != "tpu":
             raise ValueError("halo_impl='rdma' requires TPU hardware "
                              "(remote DMA does not run in interpret mode)")
@@ -417,8 +441,12 @@ def hs_solve_tiled(
     hp, wp = _round_up(h, my), _round_up(w, mx)
     if halo_impl == "rdma":
         # In-kernel DMA slices must start at sublane-aligned rows: make each
-        # tile height a multiple of 8 (the extra rows are masked pad).
+        # tile height a multiple of 8 (the extra rows are masked pad). 2-D
+        # meshes additionally exchange 128-column lane tiles along x, so
+        # each tile width must be a multiple of 128.
         hp = _round_up(h, my * 8)
+        if mx > 1:
+            wp = _round_up(w, mx * 128)
     # SOR halos are 4x wider per block (one decay ring per color stage).
     hwidth = 4 * halo_sweeps if cfg.solver == "sor" else halo_sweeps
     if hp // my <= hwidth or wp // mx <= hwidth:

@@ -306,3 +306,193 @@ def ring_fused_sweeps(
         ),
     )(jnp.asarray(row0, jnp.int32).reshape(1), u, v, *fields)
     return uo[:, :tw], vo[:, :tw]
+
+
+# -- 2-D mesh variant: row ring x column ring ----------------------------------
+
+_LC = 128  # column-halo width: one lane tile, so every DMA slice stays
+           # lane-aligned; >= any admissible block_sweeps, so one exchange
+           # covers a full block's decay on the x axis too
+
+
+def _fused_kernel_2d(pos_ref, u0_ref, v0_ref, ex_ref, ey_ref, et_ref,
+                     invd_ref, uo_ref, vo_ref,
+                     uw, vw, urow, vrow, ucol, vcol, ssem, rsem,
+                     *, n_blocks: int, s: int, rem: int, sigma: int,
+                     th: int, tw: int, hglob: int, wglob: int,
+                     axis_y: str, axis_x: str):
+    ny = jax.lax.axis_size(axis_y)
+    me_y = jax.lax.axis_index(axis_y)
+    up = jax.lax.rem(me_y - 1 + ny, ny)
+    dn = jax.lax.rem(me_y + 1, ny)
+    nx = jax.lax.axis_size(axis_x)
+    me_x = jax.lax.axis_index(axis_x)
+    lf = jax.lax.rem(me_x - 1 + nx, nx)
+    rt = jax.lax.rem(me_x + 1, nx)
+    hp2, wp2 = uw.shape  # (th + 2*sigma, tw + 2*_LC)
+
+    ex, ey = ex_ref[...], ey_ref[...]
+    et, invd = et_ref[...], invd_ref[...]
+
+    gr = (pos_ref[0] - sigma
+          + jax.lax.broadcasted_iota(jnp.int32, (hp2, wp2), 0))
+    gc = (pos_ref[1] - _LC
+          + jax.lax.broadcasted_iota(jnp.int32, (hp2, wp2), 1))
+    masks = _edge_masks(gr, gc, hglob, wglob)
+
+    uw[pl.ds(sigma, th), pl.ds(_LC, tw)] = u0_ref[...]
+    vw[pl.ds(sigma, th), pl.ds(_LC, tw)] = v0_ref[...]
+
+    def run_block(s_blk: int, parity):
+        # Two-phase exchange (v1: serial with the sweeps — the 1-D path
+        # keeps the tuned overlap). Phase R moves sigma-row strips of the
+        # OWNED columns along the y ring; phase C then moves full-height
+        # _LC-column strips along the x ring INCLUDING the just-received
+        # row halos, which lands the corners without diagonal transfers
+        # (the classic two-phase halo argument, dist/halo.py).
+        dmas = []
+        for j, (buf, comm) in enumerate(((uw, urow), (vw, vrow))):
+            dmas.append(pltpu.make_async_remote_copy(
+                src_ref=buf.at[pl.ds(sigma, sigma), pl.ds(_LC, tw)],
+                dst_ref=comm.at[parity, 1],
+                send_sem=ssem.at[j], recv_sem=rsem.at[j],
+                device_id={axis_y: up},
+                device_id_type=pltpu.DeviceIdType.MESH,
+            ))
+            dmas.append(pltpu.make_async_remote_copy(
+                src_ref=buf.at[pl.ds(th, sigma), pl.ds(_LC, tw)],
+                dst_ref=comm.at[parity, 0],
+                send_sem=ssem.at[2 + j], recv_sem=rsem.at[2 + j],
+                device_id={axis_y: dn},
+                device_id_type=pltpu.DeviceIdType.MESH,
+            ))
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+        uw[pl.ds(0, sigma), pl.ds(_LC, tw)] = urow[parity, 0]
+        uw[pl.ds(sigma + th, sigma), pl.ds(_LC, tw)] = urow[parity, 1]
+        vw[pl.ds(0, sigma), pl.ds(_LC, tw)] = vrow[parity, 0]
+        vw[pl.ds(sigma + th, sigma), pl.ds(_LC, tw)] = vrow[parity, 1]
+
+        dmas = []
+        for j, (buf, comm) in enumerate(((uw, ucol), (vw, vcol))):
+            dmas.append(pltpu.make_async_remote_copy(
+                src_ref=buf.at[:, pl.ds(_LC, _LC)],
+                dst_ref=comm.at[parity, 1],
+                send_sem=ssem.at[4 + j], recv_sem=rsem.at[4 + j],
+                device_id={axis_x: lf},
+                device_id_type=pltpu.DeviceIdType.MESH,
+            ))
+            dmas.append(pltpu.make_async_remote_copy(
+                src_ref=buf.at[:, pl.ds(tw, _LC)],
+                dst_ref=comm.at[parity, 0],
+                send_sem=ssem.at[6 + j], recv_sem=rsem.at[6 + j],
+                device_id={axis_x: rt},
+                device_id_type=pltpu.DeviceIdType.MESH,
+            ))
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+        uw[:, pl.ds(0, _LC)] = ucol[parity, 0]
+        uw[:, pl.ds(_LC + tw, _LC)] = ucol[parity, 1]
+        vw[:, pl.ds(0, _LC)] = vcol[parity, 0]
+        vw[:, pl.ds(_LC + tw, _LC)] = vcol[parity, 1]
+
+        u1, v1 = uw[...], vw[...]
+        for _ in range(s_blk):
+            u1, v1 = _kernel_step(u1, v1, ex, ey, et, invd, masks)
+        uw[...] = u1
+        vw[...] = v1
+
+    if n_blocks > 0:
+        def body(k, c):
+            run_block(s, jax.lax.rem(k, 2))
+            return c
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+    if rem:
+        run_block(rem, n_blocks % 2)
+
+    uo_ref[...] = uw[pl.ds(sigma, th), pl.ds(_LC, tw)]
+    vo_ref[...] = vw[pl.ds(sigma, th), pl.ds(_LC, tw)]
+
+
+def ring_fused_sweeps_2d(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    exh: jnp.ndarray,
+    eyh: jnp.ndarray,
+    eth: jnp.ndarray,
+    invdh: jnp.ndarray,
+    n_sweeps: int,
+    block_sweeps: int,
+    row0,
+    col0,
+    hglob: int,
+    wglob: int,
+    axis_y: str = "y",
+    axis_x: str = "x",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """2-D mesh twin of ring_fused_sweeps: all n sweeps of one chip's
+    (row x column)-decomposed tile in ONE launch, exchanging u/v halos
+    in-kernel along BOTH mesh rings every `block_sweeps` sweeps — sigma
+    rows on y, one 128-column lane tile on x, corners via the two-phase
+    order (columns carry the fresh row halos).
+
+    u, v: (th, tw) owned tile, th % 8 == 0 and tw % 128 == 0 (pad the
+    sharded array so every DMA slice is tile-aligned). exh/eyh/eth/invdh:
+    (th + 2*sigma, tw + 2*128) halo-extended loop-invariant fields
+    (exchanged once by the caller). row0/col0 (traced): global coords of
+    owned (0, 0); clamps fire at the true (hglob, wglob) edges. Must run
+    inside shard_map with both axis names bound. TPU hardware only.
+    """
+    th, tw = u.shape
+    if th % 8 or tw % _LC:
+        raise ValueError(
+            f"tile {th}x{tw} must be 8-row / 128-column aligned (in-kernel "
+            "DMA slices are tile-aligned; pad the sharded array)"
+        )
+    s = max(1, min(block_sweeps, n_sweeps))
+    sigma = _round_up(s, 8)
+    if s > _LC:
+        raise ValueError(f"block_sweeps {s} exceeds the {_LC}-column x halo")
+    if exh.shape != (th + 2 * sigma, tw + 2 * _LC):
+        raise ValueError(
+            f"fields must carry ({sigma}-row, {_LC}-col) halos: got "
+            f"{exh.shape} for a {th}x{tw} tile"
+        )
+    if n_sweeps == 0:
+        return u, v
+    n_blocks, rem = divmod(n_sweeps, s)
+    out = jax.ShapeDtypeStruct((th, tw), u.dtype)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hp2, wp2 = th + 2 * sigma, tw + 2 * _LC
+    pos = jnp.stack([jnp.asarray(row0, jnp.int32),
+                     jnp.asarray(col0, jnp.int32)])
+    uo, vo = pl.pallas_call(
+        functools.partial(
+            _fused_kernel_2d, n_blocks=n_blocks, s=s, rem=rem, sigma=sigma,
+            th=th, tw=tw, hglob=hglob, wglob=wglob,
+            axis_y=axis_y, axis_x=axis_x,
+        ),
+        out_shape=(out, out),
+        in_specs=[sspec] + [vspec] * 6,
+        out_specs=(vspec, vspec),
+        scratch_shapes=[
+            pltpu.VMEM((hp2, wp2), u.dtype),            # u working
+            pltpu.VMEM((hp2, wp2), u.dtype),            # v working
+            pltpu.VMEM((2, 2, sigma, tw), u.dtype),     # u row slots
+            pltpu.VMEM((2, 2, sigma, tw), u.dtype),     # v row slots
+            pltpu.VMEM((2, 2, hp2, _LC), u.dtype),      # u col slots
+            pltpu.VMEM((2, 2, hp2, _LC), u.dtype),      # v col slots
+            pltpu.SemaphoreType.DMA((8,)),              # send
+            pltpu.SemaphoreType.DMA((8,)),              # recv
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024 + 8 * 1024 * 1024,
+        ),
+    )(pos, u, v, exh, eyh, eth, invdh)
+    return uo, vo

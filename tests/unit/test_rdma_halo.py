@@ -95,3 +95,57 @@ def test_ring_fused_sweeps_batched_matches_untiled():
     du = float(jnp.abs(f.u - r.u).max())
     dv = float(jnp.abs(f.v - r.v).max())
     assert max(du, dv) <= 2e-6, (du, dv)
+
+
+@pytest.mark.parametrize("iters,s", [(12, 4), (7, 8)])
+def test_ring_fused_sweeps_2d_degenerate_matches_untiled(iters, s):
+    """2-D row+column-ring fused solver == untiled jnp solve on the
+    degenerate 1x1 ("y","x") mesh (both rings collapse to self — the
+    identical two-phase RDMA code a 2-D pod mesh runs). The 2-D kernel is
+    forced via the mx routing flag; the traced axis sizes are 1."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from opticalflowhs_tpu.config import HSConfig, MeshConfig
+    from opticalflowhs_tpu.dist import make_mesh
+    from opticalflowhs_tpu.dist.tiled_solver import _tile_body_rdma
+    from opticalflowhs_tpu.solver import Flow, hs_solve
+
+    rng = np.random.default_rng(31)
+    h, w = 64, 256  # 8-row / 128-col aligned (the 2-D kernel's contract)
+    i1 = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    cfg = HSConfig(alpha=0.5, iters=iters, backend="pallas")
+    mesh = make_mesh(MeshConfig(batch=1, y=1, x=1))
+    fn = jax.jit(
+        jax.shard_map(
+            lambda a, b: _tile_body_rdma(a, b, cfg, s, h, w, mx=2),
+            mesh=mesh,
+            in_specs=(P("y", "x"), P("y", "x")),
+            out_specs=Flow(P("y", "x"), P("y", "x")),
+            check_vma=False,
+        )
+    )
+    f = fn(i1, i2)
+    r = hs_solve(i1, i2, HSConfig(alpha=0.5, iters=iters, backend="jnp"))
+    du = float(jnp.abs(f.u - r.u).max())
+    dv = float(jnp.abs(f.v - r.v).max())
+    assert max(du, dv) <= 2e-6, (du, dv)
+
+
+def test_ring_fused_sweeps_2d_validation():
+    import jax.numpy as jnp
+
+    from opticalflowhs_tpu.kernels.rdma_halo import ring_fused_sweeps_2d
+
+    u = jnp.zeros((64, 200))  # width not 128-aligned
+    f = jnp.zeros((80, 456))
+    with pytest.raises(ValueError, match="aligned"):
+        ring_fused_sweeps_2d(u, u, f, f, f, f, 8, 4, 0, 0, 64, 200)
+    u = jnp.zeros((64, 256))
+    bad = jnp.zeros((80, 500))  # wrong halo extents
+    with pytest.raises(ValueError, match="halos"):
+        ring_fused_sweeps_2d(u, u, bad, bad, bad, bad, 8, 4, 0, 0, 64, 256)
