@@ -37,7 +37,11 @@ def main():
     flow = hs_solve(i1, i2, cfg)
     float(jnp.sum(flow.u))  # full sync: forces deferred compile + execute
 
-    n = 10
+    # n = 50: the axon tunnel charges ~25 ms to the FIRST call after any
+    # idle gap (profiled, docs/PERFORMANCE.md round 3); steady-state
+    # chained calls run at device time, so a longer unsynced chain
+    # measures the sustained throughput a streaming deployment sees.
+    n = 50
     t0 = time.perf_counter()
     for _ in range(n):
         flow = hs_solve(i1, i2, cfg)

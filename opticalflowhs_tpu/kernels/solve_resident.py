@@ -81,9 +81,14 @@ _RESIDENT_ARRAYS = 8
 _TEMP_ARRAYS = 10
 _LIMIT = int(os.environ.get("HSFLOW_RESIDENT_VMEM", str(118 * 1024 * 1024)))
 _FORCE_NB = int(os.environ.get("HSFLOW_RESIDENT_NB", "0"))  # 0 = auto
-# sweeps per temporal block: each block runs s in-register sweeps per band
-# window before touching the ping-pong refs again (halo = round_up(s, sub))
-_BLOCK_S = int(os.environ.get("HSFLOW_RESIDENT_S", "16"))
+# Sweeps per temporal block: each block runs s in-register sweeps per band
+# window before touching the ping-pong refs again (halo = round_up(s, sub)).
+# Default 1: hardware-profiled at 2.15 ms device time for a 1080p i100
+# solve (~97 Gpx*sweeps/s on-device) with a small, fast-compiling program;
+# deeper blocks shrink ref traffic a little more but the unrolled
+# multi-block program compiles pathologically slowly through Mosaic
+# (>20 min at s=8) for a few-percent device-time gain.
+_BLOCK_S = int(os.environ.get("HSFLOW_RESIDENT_S", "1"))
 
 
 def pick_geometry(h: int, w: int, dtype):
