@@ -119,7 +119,11 @@ def _batched_solve_impl(
 
 @partial(jax.jit, static_argnames=("cfg", "pyr"))
 def _batched_pyramid_impl(i1, i2, cfg: HSConfig, pyr: PyramidConfig) -> Flow:
-    return jax.vmap(lambda a, b: _pyramid_body(a, b, cfg, pyr))(i1, i2)
+    # whole_solve_ok=False: under vmap the level tracer looks 2-D, but the
+    # manual-DMA grid=() whole-solve kernels have no batching rule.
+    return jax.vmap(
+        lambda a, b: _pyramid_body(a, b, cfg, pyr, whole_solve_ok=False)
+    )(i1, i2)
 
 
 def hs_solve_batched(

@@ -34,7 +34,7 @@ from opticalflowhs_tpu.ops.stencils import (
     shift_right_col,
     shift_up_row,
 )
-from opticalflowhs_tpu.solver import Flow, precompute, sweeps, sweeps_until
+from opticalflowhs_tpu.solver import Flow, solve_level
 
 # -- 5-tap binomial blur, separable, replicate boundaries --------------------
 
@@ -242,7 +242,11 @@ def warp(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, method: str = "auto")
 
 
 def _pyramid_body(
-    i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig, pyr: PyramidConfig
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    cfg: HSConfig,
+    pyr: PyramidConfig,
+    whole_solve_ok: bool = True,
 ) -> Flow:
     dtype = jnp.dtype(cfg.dtype)
     p1 = gaussian_pyramid(i1.astype(dtype), pyr.levels)
@@ -254,22 +258,16 @@ def _pyramid_body(
         f1, f2 = p1[level], p2[level]
         if flow is None:
             f2w = f2
-            u = jnp.zeros_like(f1)
-            v = jnp.zeros_like(f1)
         else:
             flow = upsample_flow(flow, f1.shape[-2:])
             f2w = warp(f2, flow.u, flow.v, pyr.warp)
-            u = jnp.zeros_like(f1)
-            v = jnp.zeros_like(f1)
-        ex, ey, et, inv_den = precompute(f1, f2w, cfg)
-        if cfg.tol > 0:
-            # Per-level early stopping: coarse levels converge in a handful
-            # of sweeps, so a tol solve spends the budget where it matters.
-            dflow = sweeps_until(
-                u, v, ex, ey, et, inv_den, cfg, budget=iters[level]
-            )
-        else:
-            dflow = sweeps(u, v, ex, ey, et, inv_den, iters[level], cfg)
+        # Each level is a fixed-budget zero-init residual solve — exactly
+        # solve_level's cheap path, so every level rides the full routing
+        # chain (resident whole-solve kernel included; tol handling lives
+        # there too: per-level early stopping with budget=iters[level]).
+        dflow = solve_level(
+            f1, f2w, cfg, iters[level], whole_solve_ok=whole_solve_ok
+        )
         if flow is None:
             flow = dflow
         else:

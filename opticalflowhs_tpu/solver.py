@@ -80,6 +80,23 @@ def resident_solve_enabled(iters: int, batched: bool = False) -> bool:
     return not batched and iters >= 2
 
 
+def skewed_solve_enabled(iters: int) -> bool:
+    """Route through the u/v-resident time-skewed kernel
+    (kernels/solve_skewed.py) for beyond-residency frames (~2.6-11 Mpx)?
+
+    HSFLOW_SKEWED_SOLVE: "1" forces on, "0" forces off; "auto" (default)
+    enables it for sweep schedules deep enough to amortize the pencil
+    bookkeeping (the kernel itself returns None outside its class, so the
+    fused/banded fallback chain is unchanged). Hardware A/B:
+    tools/hw_skewed_ab.py."""
+    import os
+
+    mode = os.environ.get("HSFLOW_SKEWED_SOLVE", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return iters >= 8
+
+
 def precompute(i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig):
     """Derivatives + hoisted 1/(alpha^2 + Ex^2 + Ey^2) (SURVEY.md §3.2).
 
@@ -224,6 +241,104 @@ def sweeps_until(
     return Flow(u, v)
 
 
+def solve_level(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    cfg: HSConfig,
+    iters: int,
+    u0: Optional[jnp.ndarray] = None,
+    v0: Optional[jnp.ndarray] = None,
+    whole_solve_ok: bool = True,
+) -> Flow:
+    """One fixed-budget solve on a 2-D pair, with the FULL routing chain.
+
+    The single place the whole-solve Pallas schedules are routed: resident
+    (kernels/solve_resident.py) -> fused pipeline (kernels/solve_fused.py)
+    -> precompute + sweeps / sweeps_until. `_hs_solve_impl` AND the pyramid
+    level solves (pyramid.py::_pyramid_body) go through here, so the
+    flagship kernel reaches configs 1, 3, and 4 alike (round-3 VERDICT
+    item 1: the pyramid used to call precompute+sweeps directly and never
+    saw the resident schedule). `iters` is the budget for this level
+    (sweeps when cfg.tol == 0, else the sweeps_until cap). Callers that
+    trace this body under vmap pass whole_solve_ok=False: the tracer looks
+    2-D there, but the manual-DMA grid=() kernels have no batching rule.
+    """
+    import os
+
+    with_init = u0 is not None
+    if (
+        whole_solve_ok
+        and cfg.solver == "jacobi"
+        and cfg.tol == 0  # whole-solve kernels bake a fixed sweep schedule
+        and resolve_backend(cfg.backend) == "pallas"
+        and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
+    ):
+        dtype = jnp.dtype(cfg.dtype)
+        if resident_solve_enabled(iters):
+            # VMEM-resident whole-solve kernel: derivatives + every sweep
+            # in ONE launch, fields and flow buffers resident in VMEM.
+            # Returns None outside its residency class.
+            from opticalflowhs_tpu.kernels.solve_resident import (
+                hs_solve_resident,
+            )
+
+            out = hs_solve_resident(
+                i1.astype(dtype),
+                i2.astype(dtype),
+                cfg.alpha,
+                iters,
+                cfg.deriv_variant,
+                u0=u0.astype(dtype) if with_init else None,
+                v0=v0.astype(dtype) if with_init else None,
+            )
+            if out is not None:
+                return Flow(*out)
+        if skewed_solve_enabled(iters):
+            # u/v-resident time-skewed kernel for the 2-array-residency
+            # class (1440p-4K). Returns None outside it.
+            from opticalflowhs_tpu.kernels.solve_skewed import hs_solve_skewed
+
+            out = hs_solve_skewed(
+                i1.astype(dtype),
+                i2.astype(dtype),
+                cfg.alpha,
+                iters,
+                cfg.deriv_variant,
+                u0=u0.astype(dtype) if with_init else None,
+                v0=v0.astype(dtype) if with_init else None,
+            )
+            if out is not None:
+                return Flow(*out)
+        if fused_solve_enabled(iters):
+            # Whole-solve fused pipeline: derivatives + every sweep block
+            # in two launches, no inter-kernel marshalling. Returns None
+            # for frames/configs it does not cover.
+            from opticalflowhs_tpu.kernels.solve_fused import hs_solve_fused
+
+            out = hs_solve_fused(
+                i1.astype(dtype),
+                i2.astype(dtype),
+                cfg.alpha,
+                iters,
+                cfg.deriv_variant,
+                s_cap=cfg.block_sweeps,
+                u0=u0.astype(dtype) if with_init else None,
+                v0=v0.astype(dtype) if with_init else None,
+            )
+            if out is not None:
+                return Flow(*out)
+    ex, ey, et, inv_den = precompute(i1, i2, cfg)
+    if with_init:
+        u = u0.astype(ex.dtype)
+        v = v0.astype(ex.dtype)
+    else:
+        u = jnp.zeros_like(ex)
+        v = jnp.zeros_like(ex)
+    if cfg.tol > 0:
+        return sweeps_until(u, v, ex, ey, et, inv_den, cfg, budget=iters)
+    return sweeps(u, v, ex, ey, et, inv_den, iters, cfg)
+
+
 @partial(jax.jit, static_argnames=("cfg", "with_init"))
 def _hs_solve_impl(
     i1: jnp.ndarray,
@@ -233,67 +348,8 @@ def _hs_solve_impl(
     cfg: HSConfig,
     with_init: bool,
 ) -> Flow:
-    import os
-
-    if (
-        cfg.solver == "jacobi"
-        and cfg.tol == 0  # the resident kernel bakes a fixed sweep schedule
-        and resolve_backend(cfg.backend) == "pallas"
-        and resident_solve_enabled(cfg.iters)
-        and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
-    ):
-        # VMEM-resident whole-solve kernel (kernels/solve_resident.py):
-        # derivatives + every sweep in ONE launch, fields and flow buffers
-        # resident in VMEM. Returns None outside its residency class.
-        from opticalflowhs_tpu.kernels.solve_resident import hs_solve_resident
-
-        dtype = jnp.dtype(cfg.dtype)
-        out = hs_solve_resident(
-            i1.astype(dtype),
-            i2.astype(dtype),
-            cfg.alpha,
-            cfg.iters,
-            cfg.deriv_variant,
-            u0=u0.astype(dtype) if with_init else None,
-            v0=v0.astype(dtype) if with_init else None,
-        )
-        if out is not None:
-            return Flow(*out)
-    if (
-        cfg.solver == "jacobi"
-        and cfg.tol == 0  # the fused pipeline bakes a fixed sweep schedule
-        and resolve_backend(cfg.backend) == "pallas"
-        and fused_solve_enabled(cfg.iters)
-        and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
-    ):
-        # Whole-solve fused pipeline (kernels/solve_fused.py): derivatives +
-        # every sweep block in two launches, no inter-kernel marshalling.
-        # Returns None for frames/configs it does not cover.
-        from opticalflowhs_tpu.kernels.solve_fused import hs_solve_fused
-
-        dtype = jnp.dtype(cfg.dtype)
-        out = hs_solve_fused(
-            i1.astype(dtype),
-            i2.astype(dtype),
-            cfg.alpha,
-            cfg.iters,
-            cfg.deriv_variant,
-            s_cap=cfg.block_sweeps,
-            u0=u0.astype(dtype) if with_init else None,
-            v0=v0.astype(dtype) if with_init else None,
-        )
-        if out is not None:
-            return Flow(*out)
-    ex, ey, et, inv_den = precompute(i1, i2, cfg)
-    if with_init:
-        u = u0.astype(ex.dtype)
-        v = v0.astype(ex.dtype)
-    else:
-        u = jnp.zeros_like(ex)
-        v = jnp.zeros_like(ex)
-    if cfg.tol > 0:
-        return sweeps_until(u, v, ex, ey, et, inv_den, cfg)
-    return sweeps(u, v, ex, ey, et, inv_den, cfg.iters, cfg)
+    del with_init  # encoded in u0/v0 presence; kept for jit cache keying
+    return solve_level(i1, i2, cfg, cfg.iters, u0=u0, v0=v0)
 
 
 @partial(jax.jit, static_argnames=("cfg", "power_iters"))
