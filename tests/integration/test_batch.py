@@ -80,3 +80,25 @@ def test_batched_pyramid_pallas_matches_jnp():
     fp = hs_solve_batched(i1, i2, HSConfig(alpha=0.5, iters=8, backend="pallas"), pyr)
     fj = hs_solve_batched(i1, i2, HSConfig(alpha=0.5, iters=8, backend="jnp"), pyr)
     np.testing.assert_allclose(np.asarray(fp.u), np.asarray(fj.u), atol=2e-6)
+
+
+def test_batched_pyramid_resident_kernel_matches_jnp(monkeypatch):
+    """Batched pyramid with the batched RESIDENT whole-solve kernel forced
+    on at every level (round 4: level solves ride solve_level_batched) ==
+    jnp backend."""
+    import numpy as np
+    import jax.numpy as jnp
+    import opticalflowhs_tpu.kernels.jacobi as jk
+    from opticalflowhs_tpu.batch import hs_solve_batched
+    from opticalflowhs_tpu.config import HSConfig, PyramidConfig
+
+    monkeypatch.setenv("HSFLOW_RESIDENT_SOLVE", "1")
+    monkeypatch.setattr(jk, "_BATCH_IMG_BYTES", 0)  # empty the stacked class
+    rng = np.random.default_rng(10)
+    i1 = jnp.asarray(rng.uniform(0, 1, (2, 48, 64)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(0, 1, (2, 48, 64)).astype(np.float32))
+    pyr = PyramidConfig(levels=2)
+    fp = hs_solve_batched(i1, i2, HSConfig(alpha=0.5, iters=6, backend="pallas"), pyr)
+    fj = hs_solve_batched(i1, i2, HSConfig(alpha=0.5, iters=6, backend="jnp"), pyr)
+    np.testing.assert_allclose(np.asarray(fp.u), np.asarray(fj.u), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(fp.v), np.asarray(fj.v), atol=2e-6)
