@@ -13,6 +13,9 @@ import time
 
 LEG = sys.argv[1] if len(sys.argv) > 1 else "skewed"
 os.environ["HSFLOW_SKEWED_SOLVE"] = "1" if LEG == "skewed" else "0"
+if LEG == "skewed":
+    # the A/B deliberately runs the skewed schedule below its auto class
+    os.environ.setdefault("HSFLOW_SKEWED_MIN_PX", "0")
 
 import jax
 import jax.numpy as jnp
