@@ -23,7 +23,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from opticalflowhs_tpu.bench import roofline_gpx_sweeps
+    from opticalflowhs_tpu.bench import (
+        compute_roofline_gpx_sweeps,
+        roofline_gpx_sweeps,
+    )
     from opticalflowhs_tpu.config import HSConfig
     from opticalflowhs_tpu.solver import hs_solve
 
@@ -49,25 +52,37 @@ def main():
     dt = (time.perf_counter() - t0) / n
 
     gpx_sweeps = h * w * iters / dt / 1e9
-    # fp32 HBM-streaming SoL: 819 GB/s / 32 B/px = 25.6 Gpx*sweeps/s/chip
-    # (the one canonical accounting — opticalflowhs_tpu/bench.py).
-    sol_target = roofline_gpx_sweeps(str(jax.devices()[0].device_kind))
+    kind = str(jax.devices()[0].device_kind)
+    # The headline path (VMEM-resident whole solve) streams almost nothing,
+    # so the meaningful baseline is the VPU-compute speed-of-light
+    # (measured elementwise ceiling / 35 ops per px-sweep); the fp32
+    # HBM-streaming SoL is reported alongside for the paths that stream
+    # (round-3 VERDICT item 6: "3.1x streaming SoL" was a category error).
+    sol_compute = compute_roofline_gpx_sweeps(kind)
+    sol_stream = roofline_gpx_sweeps(kind)
     print(
         json.dumps(
             {
                 "metric": "jacobi_sweep_throughput",
                 "value": round(gpx_sweeps, 3),
                 "unit": "Gpx*sweeps/s/chip",
-                "vs_baseline": round(gpx_sweeps / sol_target, 4),
+                "vs_baseline": round(gpx_sweeps / sol_compute, 4),
                 "detail": {
                     "shape": [h, w],
                     "iters": iters,
                     "backend": backend,
                     "ms_per_solve": round(dt * 1e3, 3),
-                    "device": str(jax.devices()[0].device_kind),
+                    "device": kind,
                     "baseline_is": (
-                        f"fp32 HBM-streaming speed-of-light "
-                        f"({sol_target:.1f} Gpx*sweeps/s = 819 GB/s / 32 B/px)"
+                        f"VPU-compute speed-of-light "
+                        f"({sol_compute:.1f} Gpx*sweeps/s = 6.14 T-instr/s "
+                        f"architectural VPU peak / 25 fused instructions "
+                        f"per px-sweep; opticalflowhs_tpu/bench.py)"
+                    ),
+                    "compute_roofline_gpx_sweeps": round(sol_compute, 1),
+                    "streaming_roofline_gpx_sweeps": round(sol_stream, 1),
+                    "compute_utilization_pct": round(
+                        100 * gpx_sweeps / sol_compute, 1
                     ),
                 },
             }

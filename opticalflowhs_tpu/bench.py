@@ -18,22 +18,52 @@ from typing import Optional
 import numpy as np
 
 # THE canonical roofline accounting — every published number derives from
-# these two constants (root bench.py, docs/PERFORMANCE.md, BASELINE.md all
+# these constants (root bench.py, docs/PERFORMANCE.md, BASELINE.md all
 # import or cite them; do not fork a second accounting).
 #
-# One fused Jacobi sweep streams 8 arrays per pixel: read u, v, Ex, Ey, Et,
-# inv_den + write u, v = 32 B/px in fp32 (SURVEY.md §3.2). fp32 streaming
-# speed-of-light on v5e: 819 / 32 = 25.6 Gpx*sweeps/s; temporal blocking
-# (VMEM residency / banded s-sweep blocks) amortizes the traffic and may
-# legitimately exceed it.
+# STREAMING roofline: one fused Jacobi sweep that streams its operands
+# moves 8 arrays per pixel: read u, v, Ex, Ey, Et, inv_den + write u, v =
+# 32 B/px in fp32 (SURVEY.md §3.2). fp32 streaming speed-of-light on v5e:
+# 819 / 32 = 25.6 Gpx*sweeps/s. It applies ONLY to paths that actually
+# stream (the classic multi-launch schedule); temporal blocking and VMEM
+# residency legitimately exceed it.
 SWEEP_BYTES_PER_PX = 32
 HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5e": 819.0}
+
+# COMPUTE roofline: the resident-class solves stream (almost) nothing, so
+# their binding resource is VPU elementwise throughput. Canonical
+# INSTRUCTION count of one sweep in the concat-clamp formulation
+# (kernels/jacobi._kernel_step via solve_resident — the headline path),
+# counting a fused multiply-add as ONE ALU instruction: per field, the
+# separable [1,2,1] neighborhood average is 4 shifts + 2 (row fma/add) +
+# 2 (lane fma/add) + 2 (scale/subtract) = 10; the fused update adds
+# 3 (frac: two nested fmas + scale) + 1 + 1 (u/v fms): 2*10 + 5 = 25.
+SWEEP_OPS_PER_PX = 25
+# VPU architectural peak, fp32 T-instr/s: (8, 128) vector unit x 4
+# independent ALUs per lane = 4096 ops/cycle at the ~1.5 GHz TensorCore
+# clock implied by the public 197 TFLOPs bf16 MXU spec (197e12 / (4 MXUs
+# x 128x128 x 2 flops) = 1.5e9). NOTE this is deliberately NOT the
+# tools/hw_vpu_roofline.py microbench figure: chained one-op streams
+# measure only 0.7-1.4 T-instr/s (each stage round-trips VMEM) while the
+# real sweep kernel sustains ~2.4 — a microbench below the kernel it is
+# supposed to bound is not a ceiling (docs/PERFORMANCE.md round 4).
+VPU_TOPS = {"TPU v5 lite": 6.14, "TPU v5e": 6.14}
 
 
 def roofline_gpx_sweeps(device_kind: str = "TPU v5e", dtype_bytes: int = 4) -> float:
     """Streaming (non-temporally-blocked) sweep speed-of-light, Gpx*sweeps/s."""
     peak = HBM_GBPS.get(device_kind, 819.0)
     return peak / (SWEEP_BYTES_PER_PX * dtype_bytes / 4)
+
+
+def compute_roofline_gpx_sweeps(device_kind: str = "TPU v5e") -> float:
+    """VPU-compute sweep speed-of-light, Gpx*sweeps/s: the architectural
+    VPU instruction rate divided by the sweep's fused-instruction count.
+    The right baseline for VMEM-resident/temporally-blocked paths that do
+    not stream; `value / this` is device utilization in the compute
+    sense."""
+    tops = VPU_TOPS.get(device_kind, 6.14)
+    return tops * 1e3 / SWEEP_OPS_PER_PX
 
 
 def _sync_warm(fn, *args):
@@ -47,6 +77,10 @@ def _sync_warm(fn, *args):
 
 
 def _timeit(fn, args, repeats: int) -> float:
+    """Readback-synced warmup, then one long unsynced call chain: the first
+    call after any idle gap pays a ~25 ms tunnel wake-up spike on this
+    machine (docs/PERFORMANCE.md round 3), so short loops smear it into
+    every reading; >= ~50 chained calls amortize it below noise."""
     import jax
 
     _sync_warm(fn, *args)
@@ -62,7 +96,7 @@ def run_bench(
     rc=None,
     shape=(1024, 1280),
     profile_dir: Optional[str] = None,
-    repeats: int = 10,
+    repeats: int = 50,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -119,7 +153,7 @@ def run_bench(
     }
 
 
-def run_scaling_bench(rc=None, shape=(512, 640), repeats: int = 5) -> dict:
+def run_scaling_bench(rc=None, shape=(512, 640), repeats: int = 30) -> dict:
     """The BASELINE metric triplet tail: frames/s at 1 and N chips.
 
     1 chip: batched video fps (DP). N chips (when a mesh is available, e.g.

@@ -67,6 +67,13 @@ from opticalflowhs_tpu.kernels.solve_fused import _jnp_twin
 _ARRAYS_WIN = 18
 _MAX_S = 32
 _LIMIT = int(os.environ.get("HSFLOW_SKEWED_VMEM", str(118 * 1024 * 1024)))
+# Auto-class lower bound (px). Hardware A/B (tools/hw_skewed_ab.py,
+# 2026-08-20, n=30 steady-state chains): skewed wins at 4K i100
+# (13.93 ms / 60.0 Gpx*sweeps/s vs fused 14.38 / 58.1) where its zero
+# u/v HBM traffic matters, but LOSES at 1440p (5.07 vs 4.81) where both
+# schedules are Mosaic per-op-fixed-cost-bound and fused's geometry has
+# fewer grid steps. Below this bound the fused pipeline keeps the class.
+_MIN_PX = int(os.environ.get("HSFLOW_SKEWED_MIN_PX", str(6_000_000)))
 
 # Ranking model, same constants family as solve_fused.pick_geometry: only
 # the ratio matters. Per-step cost here is lower (no u/v window DMA).
@@ -113,17 +120,25 @@ def pick_geometry(h: int, w: int, n_sweeps: int, dtype, s_cap: int):
     return None if best is None else best[1]
 
 
-def _skewed_kernel(ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
-                   et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
-                   u0_ref, v0_ref, uo_ref, vo_ref,
-                   u_res, v_res, pu, pv, sems, *, s: int, rem: int,
-                   sigma: int, band: int, hp: int, h: int, w: int,
-                   aligned_lr: tuple, zero_init: bool, n_full: int,
-                   n_blocks: int):
-    k = pl.program_id(0)
-    i = pl.program_id(1)
+def _skewed_body(bsel, ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
+                 et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
+                 u0_ref, v0_ref, uo_ref, vo_ref,
+                 u_res, v_res, pu, pv, sems, *, s: int, rem: int,
+                 sigma: int, band: int, hp: int, h: int, w: int,
+                 aligned_lr: tuple, zero_init: bool, n_full: int,
+                 n_blocks: int, k, i):
+    """Shared solve body. bsel = the batch index (None when unbatched):
+    field block refs then carry a leading length-1 batch dim and the HBM
+    outputs are (B, hp, wp); the VMEM residents/pencils are reused across
+    frames (each frame's k==0 block re-seeds them)."""
     r0 = i * band
     win = band + 2 * sigma
+
+    def fref(ref):
+        return ref[0] if bsel is not None else ref[...]
+
+    def out_dst(ref, sl):
+        return ref.at[bsel, sl] if bsel is not None else ref.at[sl]
 
     def move(pairs):
         dmas = [
@@ -161,7 +176,7 @@ def _skewed_kernel(ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
     pv[...] = vw[band : band + sigma]
 
     def asm(band_ref, top_ref, bot_ref):
-        return jnp.concatenate([top_ref[...], band_ref[...], bot_ref[...]],
+        return jnp.concatenate([fref(top_ref), fref(band_ref), fref(bot_ref)],
                                axis=0)
 
     ex = asm(ex_ref, ext_ref, exb_ref)
@@ -195,8 +210,32 @@ def _skewed_kernel(ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
     # Final block: each band DMAs its finished rows to the HBM outputs.
     @pl.when(k == n_blocks - 1)
     def _():
-        move([(u_res.at[pl.ds(r0, band)], uo_ref.at[pl.ds(r0, band)]),
-              (v_res.at[pl.ds(r0, band)], vo_ref.at[pl.ds(r0, band)])])
+        move([(u_res.at[pl.ds(r0, band)], out_dst(uo_ref, pl.ds(r0, band))),
+              (v_res.at[pl.ds(r0, band)], out_dst(vo_ref, pl.ds(r0, band)))])
+
+
+def _skewed_kernel(ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
+                   et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
+                   u0_ref, v0_ref, uo_ref, vo_ref,
+                   u_res, v_res, pu, pv, sems, **kw):
+    _skewed_body(None, ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
+                 et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
+                 u0_ref, v0_ref, uo_ref, vo_ref, u_res, v_res, pu, pv, sems,
+                 k=pl.program_id(0), i=pl.program_id(1), **kw)
+
+
+def _skewed_kernel_b(ex_ref, ext_ref, exb_ref, ey_ref, eyt_ref, eyb_ref,
+                     et_ref, ett_ref, etb_ref, invd_ref, invdt_ref, invdb_ref,
+                     u0_ref, v0_ref, uo_ref, vo_ref,
+                     u_res, v_res, pu, pv, sems, **kw):
+    """Batched twin: grid=(B, n_blocks, nb) — one full skewed solve per
+    frame in a single launch; zero-init only (each frame's k==0 block
+    seeds the reused residents)."""
+    _skewed_body(pl.program_id(0), ex_ref, ext_ref, exb_ref, ey_ref,
+                 eyt_ref, eyb_ref, et_ref, ett_ref, etb_ref, invd_ref,
+                 invdt_ref, invdb_ref, u0_ref, v0_ref, uo_ref, vo_ref,
+                 u_res, v_res, pu, pv, sems,
+                 k=pl.program_id(1), i=pl.program_id(2), **kw)
 
 
 def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
@@ -309,6 +348,112 @@ def _solve_warm_bwd(alpha, n_sweeps, variant, geom, interpret, res, ct):
 _solve_warm_ad.defvjp(_solve_warm_fwd, _solve_warm_bwd)
 
 
+def _solve_impl_batched(i1, i2, alpha, n_sweeps, variant, geom, interpret):
+    from opticalflowhs_tpu.kernels.derivatives import _derivatives_impl
+
+    bsz, h, w = i1.shape
+    s, rem, sigma, band, hp = geom
+    ex, ey, et, invd = _derivatives_impl(
+        i1, i2, alpha, variant, interpret, band=band, hp_out=hp, crop=False
+    )
+    wp = ex.shape[2]
+    nb = hp // band
+    n_full = (n_sweeps - rem) // s
+    n_blocks = n_full + (1 if rem else 0)
+    r = band // sigma
+    aligned_lr = (True, w == wp)
+    u0p = jnp.zeros((8, wp), ex.dtype)  # never read (zero-init only)
+
+    band_spec = pl.BlockSpec((1, band, wp), lambda b, k, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    top_spec = pl.BlockSpec(
+        (1, sigma, wp),
+        lambda b, k, i: (b, jnp.maximum(i * r - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    bot_spec = pl.BlockSpec(
+        (1, sigma, wp),
+        lambda b, k, i: (b, jnp.minimum((i + 1) * r, nb * r - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out = jax.ShapeDtypeStruct((bsz, hp, wp), ex.dtype)
+    uo, vo = pl.pallas_call(
+        functools.partial(
+            _skewed_kernel_b, s=s, rem=rem, sigma=sigma, band=band, hp=hp,
+            h=h, w=w, aligned_lr=aligned_lr, zero_init=True,
+            n_full=n_full, n_blocks=n_blocks,
+        ),
+        grid=(bsz, n_blocks, nb),
+        out_shape=(out, out),
+        in_specs=[band_spec, top_spec, bot_spec] * 4 + [any_spec] * 2,
+        out_specs=(any_spec, any_spec),
+        scratch_shapes=[
+            pltpu.VMEM((hp + sigma, wp), ex.dtype),   # resident u
+            pltpu.VMEM((hp + sigma, wp), ex.dtype),   # resident v
+            pltpu.VMEM((sigma, wp), ex.dtype),        # pencil u
+            pltpu.VMEM((sigma, wp), ex.dtype),        # pencil v
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_LIMIT + 8 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ex, ex, ex, ey, ey, ey, et, et, et, invd, invd, invd, u0p, u0p)
+    return uo[:, :h, :w], vo[:, :h, :w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _solve_batched_ad(i1, i2, alpha, n_sweeps, variant, geom, interpret):
+    return _solve_impl_batched(i1, i2, alpha, n_sweeps, variant, geom,
+                               interpret)
+
+
+def _solve_batched_fwd(i1, i2, alpha, n_sweeps, variant, geom, interpret):
+    out = _solve_impl_batched(i1, i2, alpha, n_sweeps, variant, geom,
+                              interpret)
+    return out, (i1, i2)
+
+
+def _solve_batched_bwd(alpha, n_sweeps, variant, geom, interpret, res, ct):
+    from opticalflowhs_tpu.kernels.solve_fused import _jnp_twin_batched
+
+    i1, i2 = res
+    _, vjp = jax.vjp(
+        lambda a, b: _jnp_twin_batched(a, b, alpha, n_sweeps, variant),
+        i1, i2,
+    )
+    return vjp(ct)
+
+
+_solve_batched_ad.defvjp(_solve_batched_fwd, _solve_batched_bwd)
+
+
+def hs_solve_skewed_batched(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    alpha: float,
+    n_sweeps: int,
+    variant: str = "hs_cube",
+    interpret: bool | None = None,
+):
+    """Batched skewed whole solve for (B, H, W) stacks of beyond-residency
+    frames (the B x 4K class): grid=(B, n_blocks, nb), one full u/v-resident
+    skewed solve per frame in a single launch. Zero-init only. Returns
+    (u, v) or None (smaller frames take the resident/banded batched
+    kernels)."""
+    if i1.ndim != 3 or i1.shape[0] == 0 or n_sweeps < 2:
+        return None
+    geom = applicable(i1[0], n_sweeps)
+    if geom is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _solve_batched_ad(i1, i2, float(alpha), n_sweeps, variant, geom,
+                             interpret)
+
+
 def applicable(i1, n_sweeps: int):
     """Geometry when the skewed schedule covers this solve, else None:
     2-D frames beyond the 8-array residency class (those take
@@ -319,6 +464,8 @@ def applicable(i1, n_sweeps: int):
     from opticalflowhs_tpu.kernels import solve_resident
 
     h, w = i1.shape
+    if h * w < _MIN_PX:
+        return None  # fused pipeline wins below ~6 Mpx (see _MIN_PX note)
     if solve_resident.pick_geometry(h, w, i1.dtype) is not None:
         return None  # resident class: the 8-array schedule is stronger
     return pick_geometry(h, w, n_sweeps, i1.dtype, _MAX_S)

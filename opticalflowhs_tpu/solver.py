@@ -64,20 +64,22 @@ def resident_solve_enabled(iters: int, batched: bool = False) -> bool:
     (kernels/solve_resident.py)?
 
     HSFLOW_RESIDENT_SOLVE: "1" forces on, "0" forces off; the default
-    "auto" enables the single-frame path for any fixed-count Jacobi solve
-    — it strictly removes launches, field HBM round-trips, window DMAs,
-    halo redundancy, and per-sweep edge masks relative to the other
-    schedules (hardware A/B: tools/hw_resident_ab.py), and
-    hs_solve_resident returns None outside its residency class so the
-    fallback chain is unchanged. The batched variant stays off in auto
-    until its hardware A/B against the batched-banded kernel (48.5
-    Gpx*sweeps/s at B2x1080p) lands."""
+    "auto" enables both the single-frame and the batched path for any
+    fixed-count Jacobi solve — the single-frame case strictly removes
+    launches, field HBM round-trips, window DMAs, halo redundancy, and
+    per-sweep edge masks relative to the other schedules (hardware A/B:
+    tools/hw_resident_ab.py), and the batched grid=(B,) variant won its
+    round-4 A/B decisively (tools/hw_resident_batched.py, 2026-08-20,
+    n=30 steady-state chains: B2x1080p i100 5.30 ms / 78.9 Gpx*sweeps/s
+    vs 6.77 / 61.8 batched-banded, maxdiff 0.0 on hardware).
+    hs_solve_resident{,_batched} return None outside their residency
+    class so the fallback chain is unchanged."""
     import os
 
     mode = os.environ.get("HSFLOW_RESIDENT_SOLVE", "auto")
     if mode in ("0", "1"):
         return mode == "1"
-    return not batched and iters >= 2
+    return iters >= 2
 
 
 def skewed_solve_enabled(iters: int) -> bool:

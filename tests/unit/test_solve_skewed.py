@@ -107,6 +107,8 @@ def test_gradients_match_jnp_twin():
 def test_class_boundaries():
     # resident class (small frame): the skewed schedule defers
     assert sk.applicable(jnp.zeros((192, 128), jnp.float32), 10) is None
+    # 1440p: below the measured _MIN_PX crossover, fused keeps the class
+    assert sk.applicable(jnp.zeros((1440, 2560), jnp.float32), 100) is None
     # 4K: beyond 8-array residency, inside 2-array residency
     assert sk.applicable(jnp.zeros((2176, 3840), jnp.float32), 100) is not None
     # 8K: u/v alone outgrow VMEM
@@ -134,6 +136,7 @@ def test_solver_routes_skewed(monkeypatch):
     monkeypatch.setenv("HSFLOW_SKEWED_SOLVE", "1")
     monkeypatch.setenv("HSFLOW_RESIDENT_SOLVE", "0")
     monkeypatch.setenv("HSFLOW_FUSED_SOLVE", "0")
+    monkeypatch.setattr(sk, "_MIN_PX", 0)
     monkeypatch.setattr(sr, "pick_geometry", lambda *a, **k: None)
     called = {}
     orig = sk.pick_geometry
@@ -151,3 +154,29 @@ def test_solver_routes_skewed(monkeypatch):
     assert called.get("yes")
     assert float(jnp.abs(fp.u - fj.u).max()) <= TOL
     assert float(jnp.abs(fp.v - fj.v).max()) <= TOL
+
+
+def test_batched_matches_singles():
+    i1b, i2b = [], []
+    for b in range(3):
+        a, c = _frames(44, 130, seed=20 + b)
+        i1b.append(a)
+        i2b.append(c)
+    i1 = jnp.stack(i1b)
+    i2 = jnp.stack(i2b)
+    geom = _geom(44, 3, 7, 2)
+    u, v = sk._solve_batched_ad(i1, i2, 0.5, 7, "hs_cube", geom, True)
+    for b in range(3):
+        ur, vr = _oracle(i1[b], i2[b], 0.5, 7)
+        assert float(jnp.abs(u[b] - ur).max()) <= TOL, b
+        assert float(jnp.abs(v[b] - vr).max()) <= TOL, b
+
+
+def test_batched_gates():
+    # sub-class frames and 2-D input stay off the batched skewed path
+    assert sk.hs_solve_skewed_batched(
+        jnp.zeros((2, 64, 128)), jnp.zeros((2, 64, 128)), 0.5, 8,
+        interpret=True) is None
+    assert sk.hs_solve_skewed_batched(
+        jnp.zeros((64, 128)), jnp.zeros((64, 128)), 0.5, 8,
+        interpret=True) is None
