@@ -74,11 +74,12 @@ def solve_level_batched(
 
         if (
             cfg.tol == 0
-            and skewed_solve_enabled(iters)
+            and skewed_solve_enabled(iters, batched=True)
             and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
         ):
             # Batched u/v-resident time-skewed kernel for beyond-residency
-            # (B x 4K) stacks; None outside its class.
+            # (B x 4K) stacks; None outside its class. Off in auto — the
+            # batched-banded grid measured faster (see skewed_solve_enabled).
             from opticalflowhs_tpu.kernels.solve_skewed import (
                 hs_solve_skewed_batched,
             )

@@ -82,21 +82,25 @@ def resident_solve_enabled(iters: int, batched: bool = False) -> bool:
     return iters >= 2
 
 
-def skewed_solve_enabled(iters: int) -> bool:
+def skewed_solve_enabled(iters: int, batched: bool = False) -> bool:
     """Route through the u/v-resident time-skewed kernel
     (kernels/solve_skewed.py) for beyond-residency frames (~2.6-11 Mpx)?
 
     HSFLOW_SKEWED_SOLVE: "1" forces on, "0" forces off; "auto" (default)
-    enables it for sweep schedules deep enough to amortize the pencil
-    bookkeeping (the kernel itself returns None outside its class, so the
-    fused/banded fallback chain is unchanged). Hardware A/B:
-    tools/hw_skewed_ab.py."""
+    enables the SINGLE-FRAME path for sweep schedules deep enough to
+    amortize the pencil bookkeeping — it won its 4K A/B (13.93 vs
+    14.38 ms fused, tools/hw_skewed_ab.py) — and leaves the batched twin
+    off: at B2x4K the batched-banded (batch, bands) grid already
+    amortizes dispatch and measured 26.58 ms (62.9 Gpx*sweeps/s) vs
+    27.26 (61.3) for batched skewed (tools/hw_skewed_batched.py,
+    2026-08-20; both exact 0.0). The kernel itself returns None outside
+    its class, so the fallback chain is unchanged either way."""
     import os
 
     mode = os.environ.get("HSFLOW_SKEWED_SOLVE", "auto")
     if mode in ("0", "1"):
         return mode == "1"
-    return iters >= 8
+    return not batched and iters >= 8
 
 
 def precompute(i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig):
