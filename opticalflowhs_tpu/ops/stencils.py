@@ -275,7 +275,24 @@ def checkpointed_loop(step, uv, n: int):
     memory drops from O(n) field-sized residuals (tens of GB at 1080p x
     hundreds of sweeps, an instant OOM) to O(sqrt(n)). Loop-invariant data
     closed over by `step` is saved once, not per block.
+
+    Measured structural trade (tools/hw_jnp_ckpt_ab.py, v5e 1080p i100,
+    round 4): XLA:TPU charges this scan-of-fori nesting a 2.1x FORWARD
+    penalty vs a flat fori_loop (16.0 vs 7.6 ms; CPU charges ~7%), with
+    or without jax.checkpoint (16.04 nested-no-checkpoint — the nesting
+    itself is the cost). Both alternatives were built, measured, and
+    rejected: (a) flat forward + custom_vjp sqrt-replay backward breaks
+    forward-mode AD (jvp), an advertised capability
+    (tests/integration/test_autodiff.py); (b) Python-unrolling the block
+    body inside the scan reaches flat speed (7.9 ms) but lets XLA
+    reassociate the straight-line chain — forward is no longer bitwise
+    equal to the plain loop (~9e-8, breaking the oracle-identity tests)
+    — and 10x's CPU compile time. The 2.1x applies only to this
+    oracle/fallback backend; the Pallas production paths bypass this
+    loop entirely via their whole-solve custom_vjp schemes.
+    prevent_cse=False: sound inside the scan, never worse.
     """
+    import functools
     import math
 
     import jax
@@ -288,7 +305,7 @@ def checkpointed_loop(step, uv, n: int):
         return lax.fori_loop(0, n, lambda _, x: step(x), uv)
     n_blocks, rem = divmod(n, b)
 
-    @jax.checkpoint
+    @functools.partial(jax.checkpoint, prevent_cse=False)
     def block(x):
         return lax.fori_loop(0, b, lambda _, y: step(y), x)
 

@@ -21,7 +21,6 @@ XLA graph (static shapes per level — SURVEY.md §3.3).
 
 from __future__ import annotations
 
-import functools
 from functools import partial
 from typing import Optional, Sequence
 
@@ -36,59 +35,38 @@ from opticalflowhs_tpu.solver import Flow, solve_level
 _B5 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
-@functools.lru_cache(maxsize=64)
-def _decimation_matrix(n: int, dtype_str: str):
-    """(n, ceil(n/2)) matrix D with out = in @ D == blur-[1,4,6,4,1]/16 at
-    replicate boundaries, then 2x subsample — the shift formulation's exact
-    weights folded into one banded operator."""
-    import numpy as np
-
-    m = -(-n // 2)
-    d = np.zeros((n, m), np.float64)
-    for j in range(m):
-        c = 2 * j
-        for t in range(-2, 3):
-            d[min(max(c + t, 0), n - 1), j] += _B5[t + 2]
-    # numpy, NOT jnp: a jnp constant materialized under an active trace is
-    # a tracer, and the cache would leak it across jit traces
-    return d.astype(dtype_str)
-
-
-@functools.lru_cache(maxsize=64)
-def _linear_resize_matrix(n_in: int, n_out: int, dtype_str: str):
-    """(n_in, n_out) bilinear interpolation operator with jax.image.resize
-    "linear" alignment: src = (dst + 0.5) * n_in/n_out - 0.5, clamped."""
-    import numpy as np
-
-    d = np.zeros((n_in, n_out), np.float64)
-    scale = n_in / n_out
-    for j in range(n_out):
-        s = (j + 0.5) * scale - 0.5
-        s = min(max(s, 0.0), n_in - 1.0)
-        i0 = int(np.floor(s))
-        i1 = min(i0 + 1, n_in - 1)
-        w = s - i0
-        d[i0, j] += 1.0 - w
-        d[i1, j] += w
-    return d.astype(dtype_str)  # numpy: see _decimation_matrix
-
-
 def downsample2x(img: jnp.ndarray) -> jnp.ndarray:
     """Blur + 2x subsample. Output spatial size is ceil(size / 2).
 
-    TPU-idiomatic lowering (round 4): the separable blur+decimate is two
-    banded-matrix products on the MXU (precision HIGHEST, so fp32 values
-    match the shift formulation to reassociation error). The shift/slice
-    formulation this replaces spent 1.39 ms on a single 1080p frame —
-    XLA's stride-2 slice on the lane dimension lowers to a relayout —
-    vs ~0.15 ms of fp32 matmul (tools/hw_pyramid_split.py).
+    Each separable pass subsamples its own axis immediately after blurring
+    it (identical values to blur-then-subsample — the passes are
+    independent per axis), halving the second pass's work.
+
+    Measured dead end (round 4, tools/hw_pyramid_split.py): folding
+    blur+decimate into banded decimation-matrix MXU products was a wash at
+    1080p — 1.32 ms matmul (fp32 HIGHEST runs ~3.3 TFLOP/s effective on
+    v5e) vs 1.39 ms for these shifts+strided slices — so the simpler
+    shift formulation stays.
     """
-    h, w = img.shape[-2:]
-    dr = _decimation_matrix(h, str(img.dtype))
-    dc = _decimation_matrix(w, str(img.dtype))
-    hi = jax.lax.Precision.HIGHEST
-    t = jnp.einsum("...hw,hm->...mw", img, dr, precision=hi)
-    return jnp.einsum("...mw,wk->...mk", t, dc, precision=hi)
+    from opticalflowhs_tpu.ops.stencils import (
+        shift_down_row,
+        shift_left_col,
+        shift_right_col,
+        shift_up_row,
+    )
+
+    r1 = shift_down_row(img)        # i-1
+    r2 = shift_down_row(r1)         # i-2
+    r3 = shift_up_row(img)          # i+1
+    r4 = shift_up_row(r3)           # i+2
+    v = _B5[2] * img + _B5[1] * (r1 + r3) + _B5[0] * (r2 + r4)
+    v = v[..., ::2, :]
+    c1 = shift_right_col(v)
+    c2 = shift_right_col(c1)
+    c3 = shift_left_col(v)
+    c4 = shift_left_col(c3)
+    h = _B5[2] * v + _B5[1] * (c1 + c3) + _B5[0] * (c2 + c4)
+    return h[..., :, ::2]
 
 
 def gaussian_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
@@ -106,26 +84,15 @@ def upsample_flow(flow: Flow, shape: tuple[int, int]) -> Flow:
     """Bilinearly resize flow to `shape`, scaling values by the size ratio
     per axis (SURVEY.md §2.5 PYR: upsample x2 and multiply values x2).
 
-    Upscaling runs as two MXU matrix products against banded bilinear
-    operators (same sample alignment as jax.image.resize "linear") — the
-    gather-based resize lowering measured 0.99 ms for one 540p->1080p
-    flow field (tools/hw_pyramid_split.py). Downscaling (not used by the
-    pyramid) falls back to jax.image.resize for its antialiasing."""
+    Measured dead end (round 4, tools/hw_pyramid_split.py): banded MXU
+    bilinear-operator products measured 1.28 ms per 540p->1080p
+    field vs 0.99 ms for this resize lowering — fp32 HIGHEST matmul is
+    too slow on v5e for skinny banded operators, so resize stays."""
     h0, w0 = flow.u.shape[-2:]
     h1, w1 = shape
-    if h1 < h0 or w1 < w0:
-        u = jax.image.resize(flow.u, flow.u.shape[:-2] + (h1, w1), method="linear")
-        v = jax.image.resize(flow.v, flow.v.shape[:-2] + (h1, w1), method="linear")
-        return Flow(u * (w1 / w0), v * (h1 / h0))
-    rr = _linear_resize_matrix(h0, h1, str(flow.u.dtype))
-    rc = _linear_resize_matrix(w0, w1, str(flow.u.dtype))
-    hi = jax.lax.Precision.HIGHEST
-
-    def up(a, sc):
-        t = jnp.einsum("...hw,hm->...mw", a, rr, precision=hi)
-        return jnp.einsum("...mw,wk->...mk", t, rc, precision=hi) * sc
-
-    return Flow(up(flow.u, w1 / w0), up(flow.v, h1 / h0))
+    u = jax.image.resize(flow.u, flow.u.shape[:-2] + (h1, w1), method="linear")
+    v = jax.image.resize(flow.v, flow.v.shape[:-2] + (h1, w1), method="linear")
+    return Flow(u * (w1 / w0), v * (h1 / h0))
 
 
 def warp_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

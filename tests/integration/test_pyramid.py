@@ -122,49 +122,3 @@ def test_warp_bilinear_batched_matches_vmap():
     got = warp_bilinear(img, u, v)
     want = jax.vmap(warp_bilinear)(img, u, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
-
-
-class TestMXUResampling:
-    """Round 4: downsample2x/upsample_flow lower to banded MXU matmuls
-    (stride-2 lane slicing measured 1.39 ms per 1080p frame on v5e).
-    These tests pin the matmul operators to the shift/slice and
-    jax.image.resize formulations they replaced."""
-
-    def test_downsample_matches_shift_formulation(self):
-        from opticalflowhs_tpu.ops.stencils import (
-            shift_down_row, shift_left_col, shift_right_col, shift_up_row,
-        )
-
-        def shift_downsample(img):
-            b = (1 / 16, 4 / 16, 6 / 16, 4 / 16, 1 / 16)
-            r1 = shift_down_row(img)
-            r2 = shift_down_row(r1)
-            r3 = shift_up_row(img)
-            r4 = shift_up_row(r3)
-            v = b[2] * img + b[1] * (r1 + r3) + b[0] * (r2 + r4)
-            v = v[..., ::2, :]
-            c1 = shift_right_col(v)
-            c2 = shift_right_col(c1)
-            c3 = shift_left_col(v)
-            c4 = shift_left_col(c3)
-            h = b[2] * v + b[1] * (c1 + c3) + b[0] * (c2 + c4)
-            return h[..., :, ::2]
-
-        rng = np.random.default_rng(3)
-        for shape in ((32, 48), (33, 47), (2, 40, 30)):
-            img = jnp.asarray(rng.uniform(size=shape).astype(np.float32))
-            got = np.asarray(downsample2x(img))
-            want = np.asarray(shift_downsample(img))
-            np.testing.assert_allclose(got, want, atol=2e-6)
-
-    def test_upsample_matches_jax_image_resize(self):
-        import jax
-
-        rng = np.random.default_rng(4)
-        u = jnp.asarray(rng.normal(size=(17, 23)).astype(np.float32))
-        v = jnp.asarray(rng.normal(size=(17, 23)).astype(np.float32))
-        up = upsample_flow(Flow(u, v), (34, 46))
-        ru = jax.image.resize(u, (34, 46), method="linear") * (46 / 23)
-        rv = jax.image.resize(v, (34, 46), method="linear") * (34 / 17)
-        np.testing.assert_allclose(np.asarray(up.u), np.asarray(ru), atol=2e-5)
-        np.testing.assert_allclose(np.asarray(up.v), np.asarray(rv), atol=2e-5)

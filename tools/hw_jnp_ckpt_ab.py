@@ -38,3 +38,25 @@ for name, f in (("flat", flat), ("ckpt", ckpt)):
     print(f"{name}: {dt*1e3:.3f} ms", flush=True)
 json.dump(results, open("/tmp/hw_jnp_ckpt_ab.json", "w"), indent=1)
 print("DONE", flush=True)
+
+# Third leg (round-4 follow-up): nested scan-of-fori WITHOUT checkpoint —
+# pins whether the 2.1x is the nesting or the remat wrapper.
+@jax.jit
+def nested(u, v):
+    b = 10
+    def block(x):
+        return lax.fori_loop(0, b, lambda _, y: step(y), x)
+    x, _ = lax.scan(lambda c, _: (block(c), None), (u, v), None, length=10)
+    return x
+
+out = nested(u, v)
+float(jnp.sum(out[0]))
+t0 = time.perf_counter()
+for _ in range(50):
+    out = nested(u, v)
+jax.block_until_ready(out)
+dt = (time.perf_counter() - t0) / 50
+print(f"nested-nockpt: {dt*1e3:.3f} ms", flush=True)
+results["nested_nockpt_ms"] = round(dt * 1e3, 3)
+json.dump(results, open("/tmp/hw_jnp_ckpt_ab.json", "w"), indent=1)
+print("DONE2", flush=True)
