@@ -100,7 +100,11 @@ def skewed_solve_enabled(iters: int, batched: bool = False) -> bool:
     mode = os.environ.get("HSFLOW_SKEWED_SOLVE", "auto")
     if mode in ("0", "1"):
         return mode == "1"
-    return not batched and iters >= 8
+    # iters >= 64: at 4K i20 the classic multi-launch path measured 4.15 ms
+    # vs 4.29 skewed (shallow schedules don't recoup the pencil/window
+    # machinery — same boundary the fused pipeline uses); at i100 skewed
+    # wins 13.93 vs 14.38 fused.
+    return not batched and iters >= 64
 
 
 def precompute(i1: jnp.ndarray, i2: jnp.ndarray, cfg: HSConfig):
