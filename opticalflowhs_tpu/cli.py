@@ -176,6 +176,7 @@ def _cmd_video(args, overrides):
 
     from opticalflowhs_tpu.io.flo import write_flo
     from opticalflowhs_tpu.io.images import load_gray, save_image
+    from opticalflowhs_tpu.solver import Flow
     from opticalflowhs_tpu.video import flow_stream, flow_stream_occlusion
     from opticalflowhs_tpu.viz import flow_to_color
 
@@ -257,6 +258,21 @@ def _cmd_video(args, overrides):
             for fl, m in flow_stream_occlusion(frames, rc.hs, pyr,
                                                chunk=args.chunk, mesh=mesh,
                                                lk=lk_cfg, tvl1=tvl1_cfg)
+        )
+    elif args.warm is not None:
+        if method != "hs":
+            raise SystemExit("--warm is HS streaming only")
+        # --warm implies single-level solving: the standing flow prior
+        # replaces the pyramid's coarse-to-fine bootstrapping on coherent
+        # video (the pyramid API has no warm-start seam).
+        from opticalflowhs_tpu.video import flow_stream_warm
+
+        # sequential temporal warm start; each pair becomes a 1-pair chunk
+        stream = (
+            (Flow(fl.u[None], fl.v[None]), None)
+            for fl in flow_stream_warm(
+                frames, rc.hs, warm_scale=args.warm, chunk=args.chunk
+            )
         )
     else:
         stream = ((fl, None) for fl in flow_stream(
@@ -558,6 +574,14 @@ def main(argv=None) -> int:
     pv.add_argument("--viz-fps", type=float, default=25.0,
                     help="frame rate for --viz-video (default 25)")
     pv.add_argument("--chunk", type=int, default=8)
+    pv.add_argument(
+        "--warm", type=float, nargs="?", const=1.0, default=None,
+        metavar="SCALE",
+        help="sequential temporal warm start (HS, single level): seed each "
+             "pair's solve with the previous flow scaled by SCALE "
+             "(default 1.0) — cuts the iteration budget several-fold on "
+             "coherent video (video.flow_stream_warm)",
+    )
     pv.add_argument("--method", choices=["hs", "lk", "tvl1"], default=None,
                     help="flow model family (default: config's, hs)")
     pv.add_argument("--egomotion", action="store_true",

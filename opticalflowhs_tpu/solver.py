@@ -219,8 +219,9 @@ def sweeps_until(
     loop (SURVEY.md §3.1) can only run a fixed count.
 
     `run_block(u, v, n) -> (u, v)` overrides the default block runner
-    (`sweeps` on the captured fields) — the batched stacked-kernel route
-    passes its own so the stop semantics live in exactly one place."""
+    (`sweeps` on the captured fields) — the batched stacked-kernel and
+    resident-blocked routes pass their own so the stop semantics live in
+    exactly one place (the field args may then be None)."""
     iters = cfg.iters if budget is None else budget
     if run_block is None:
         def run_block(uu, vv, nn):
@@ -337,6 +338,39 @@ def solve_level(
             )
             if out is not None:
                 return Flow(*out)
+    if (
+        whole_solve_ok
+        and cfg.tol > 0
+        and cfg.solver == "jacobi"
+        and resolve_backend(cfg.backend) == "pallas"
+        and resident_solve_enabled(max(iters, 2))
+        and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
+    ):
+        # Resident-blocked solve-to-tolerance: each check block is one
+        # warm-started resident whole-solve launch (the in-kernel
+        # derivative stage re-runs per block — a few percent of a block —
+        # in exchange for the resident schedule's per-sweep rate). The
+        # stop semantics stay in sweeps_until.
+        from opticalflowhs_tpu.kernels import solve_resident as _sr
+
+        dtype = jnp.dtype(cfg.dtype)
+        b = cfg.block_sweeps if cfg.block_sweeps > 0 else 16
+        if _sr.applicable(i1, b, cfg.deriv_variant) is not None:
+            i1c = i1.astype(dtype)
+            i2c = i2.astype(dtype)
+
+            def run_block(uu, vv, nn):
+                return _sr.hs_solve_resident(
+                    i1c, i2c, cfg.alpha, nn, cfg.deriv_variant,
+                    u0=uu, v0=vv,
+                )
+
+            u = u0.astype(dtype) if with_init else jnp.zeros_like(i1c)
+            v = v0.astype(dtype) if with_init else jnp.zeros_like(i1c)
+            return sweeps_until(
+                u, v, None, None, None, None, cfg, budget=iters,
+                run_block=run_block,
+            )
     ex, ey, et, inv_den = precompute(i1, i2, cfg)
     if with_init:
         u = u0.astype(ex.dtype)

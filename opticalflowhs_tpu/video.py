@@ -106,6 +106,39 @@ def flow_stream(
             yield hs_solve_batched(cur[:-1], cur[1:], cfg, pyr, mesh=m)
 
 
+def flow_stream_warm(
+    frames: Union[np.ndarray, Iterable[np.ndarray]],
+    cfg: HSConfig = HSConfig(),
+    warm_scale: float = 1.0,
+    chunk: int = 8,
+) -> Iterator[Flow]:
+    """Sequential streaming flow with TEMPORAL warm start (round 4).
+
+    Each pair's solve initializes u/v from the previous pair's flow
+    (scaled by `warm_scale`; 1.0 assumes coherent motion frame to frame) —
+    the standing flow field is itself the best available prior, so the
+    iteration budget that `flow_stream` spends rediscovering it every
+    pair can be cut several-fold at matched accuracy (measured in
+    tests/integration/test_video_egomotion.py: on a smooth synthetic pan,
+    warm iters=25 matches cold iters=100 EPE). Trades `flow_stream`'s
+    chunked DP batching for per-pair latency and the iteration saving —
+    the right mode for live camera feeds; the warm-started solve rides
+    the resident whole-solve kernel (solver.solve_level routes warm
+    starts through its u0/v0 path, one launch per pair). `chunk` only
+    sizes the prefetch windows (P6 pipeline), not the batching.
+    """
+    from opticalflowhs_tpu.solver import hs_solve
+
+    prev: Optional[Flow] = None
+    for cur in _prefetched_windows(frames, chunk):
+        for k in range(cur.shape[0] - 1):
+            init = None
+            if prev is not None:
+                init = Flow(prev.u * warm_scale, prev.v * warm_scale)
+            prev = hs_solve(cur[k], cur[k + 1], cfg, init=init)
+            yield prev
+
+
 def flow_stream_occlusion(
     frames: Union[np.ndarray, Iterable[np.ndarray]],
     cfg: HSConfig = HSConfig(),

@@ -180,3 +180,40 @@ def test_egomotion_explicit_offcenter_is_exact_ls():
     assert abs(float(e.tx) - tx) < 1e-4 and abs(float(e.ty) - ty) < 1e-4
     assert abs(float(e.scale) - s) < 1e-6 and abs(float(e.omega) - om) < 1e-6
     assert float(e.residual) < 1e-4
+
+
+def test_flow_stream_warm_matches_cold_at_reduced_budget():
+    """Temporal warm start (round 4): on a coherent synthetic pan, warm
+    iters=25 must reach (or beat) cold iters=100 accuracy from the second
+    pair on, and the first pair must equal a plain cold solve."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opticalflowhs_tpu.config import HSConfig
+    from opticalflowhs_tpu.data.synthetic import synthetic_sequence
+    from opticalflowhs_tpu.solver import hs_solve
+    from opticalflowhs_tpu.video import flow_stream_warm
+
+    frames, gt = synthetic_sequence(6, 64, 80, tx=1.0, ty=0.5, key=3)
+    cfg_warm = HSConfig(alpha=0.2, iters=25, backend="jnp")
+    cfg_cold = HSConfig(alpha=0.2, iters=100, backend="jnp")
+
+    warm = list(flow_stream_warm(frames, cfg_warm, chunk=3))
+    assert len(warm) == 5
+
+    # first pair == plain cold solve at the same budget (no prior exists)
+    ref0 = hs_solve(jnp.asarray(frames[0]), jnp.asarray(frames[1]), cfg_warm)
+    assert float(jnp.abs(warm[0].u - ref0.u).max()) == 0.0
+
+    def interior_err(flow):
+        u = np.asarray(flow.u)[8:-8, 8:-8]
+        v = np.asarray(flow.v)[8:-8, 8:-8]
+        return float(np.sqrt((u - gt[0]) ** 2 + (v - gt[1]) ** 2).mean())
+
+    cold_last = hs_solve(
+        jnp.asarray(frames[4]), jnp.asarray(frames[5]), cfg_cold
+    )
+    e_warm = interior_err(warm[-1])
+    e_cold100 = interior_err(cold_last)
+    # 25 warm iters at pair 5 should be at least as accurate as 100 cold
+    assert e_warm <= e_cold100 * 1.05, (e_warm, e_cold100)

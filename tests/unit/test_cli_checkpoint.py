@@ -223,3 +223,17 @@ def test_cli_run_tiled_mesh_matches_untiled(tmp_path, pair_files):
                      "--mesh.halo_sweeps", "2"]) == 0
     fa, fb = read_flo(a), read_flo(b)
     np.testing.assert_allclose(fb, fa, atol=5e-6)
+
+
+def test_cli_video_warm(tmp_path):
+    rng = np.random.default_rng(1)
+    base = rng.uniform(0, 1, (32, 64)).astype(np.float32)
+    fdir = tmp_path / "frames"
+    fdir.mkdir()
+    for k in range(4):
+        save_image(fdir / f"f{k:03d}.pgm", np.roll(base, k, axis=1))
+    odir = str(tmp_path / "flows_warm")
+    rc = cli_main(["video", str(fdir), "-o", odir, "--cfg.iters", "8",
+                   "--chunk", "2", "--warm"])
+    assert rc == 0
+    assert len([p for p in os.listdir(odir) if p.endswith(".flo")]) == 3

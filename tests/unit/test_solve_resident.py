@@ -177,3 +177,31 @@ def test_solver_routes_resident(monkeypatch):
     fj = solver.hs_solve(i1, i2, cfg_j)
     assert float(jnp.abs(fp.u - fj.u).max()) <= TOL
     assert float(jnp.abs(fp.v - fj.v).max()) <= TOL
+
+
+def test_tol_solve_rides_resident_blocks(monkeypatch):
+    # round 4: cfg.tol > 0 runs sweeps_until with warm-started resident
+    # whole-solve launches as check blocks; must equal the jnp tol path
+    import opticalflowhs_tpu.solver as solver
+    from opticalflowhs_tpu.config import HSConfig
+
+    monkeypatch.setattr(sr, "_FORCE_NB", 2)
+    monkeypatch.setenv("HSFLOW_RESIDENT_SOLVE", "1")
+    calls = {"n": 0}
+    orig = sr.hs_solve_resident
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sr, "hs_solve_resident", spy)
+    i1, i2 = _frames(192, 128, seed=8)
+    cfg_p = HSConfig(alpha=0.5, iters=48, tol=1e-4, block_sweeps=8,
+                     backend="pallas")
+    cfg_j = HSConfig(alpha=0.5, iters=48, tol=1e-4, block_sweeps=8,
+                     backend="jnp")
+    fp = solver.hs_solve(i1, i2, cfg_p)
+    fj = solver.hs_solve(i1, i2, cfg_j)
+    assert calls["n"] >= 1  # the resident block runner was traced
+    assert float(jnp.abs(fp.u - fj.u).max()) <= TOL
+    assert float(jnp.abs(fp.v - fj.v).max()) <= TOL
