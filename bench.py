@@ -1,10 +1,14 @@
 """Driver benchmark: Jacobi sweep throughput on one chip.
 
-Prints ONE JSON line. Headline metric: fused-sweep throughput in Gpx*sweeps/s
-per chip on a 1088x1920 (config-4 HD) frame, 100 iterations (the BASELINE.md
-"Jacobi sweep throughput" row). vs_baseline is the fraction of the fp32
-HBM-streaming speed-of-light (819 GB/s / 32 B/px = 25.6 Gpx*sweeps/s on
-v5e — the single canonical accounting, opticalflowhs_tpu/bench.py) — the
+Prints ONE JSON line. Headline metric: whole-solve throughput in
+Gpx*sweeps/s per chip on a 1088x1920 (config-4 HD) frame, 100 iterations
+(the BASELINE.md "Jacobi sweep throughput" row). vs_baseline is the
+fraction of the VPU-COMPUTE speed-of-light (6.14 T-instr/s architectural
+VPU peak / 25 fused instructions per px-sweep = 245.6 Gpx*sweeps/s —
+opticalflowhs_tpu/bench.py; round 4 changed this denominator from the
+25.6 streaming SoL, which stopped applying once the resident kernel
+stopped streaming, so vs_baseline dropped ~9.6x with no change in
+`value`). The streaming roofline is still reported in detail. The
 reference publishes no numbers of its own (BASELINE.json "published": {}).
 
 Axon-platform quirk: the first execution must be synced with a host readback
@@ -55,7 +59,7 @@ def main():
     kind = str(jax.devices()[0].device_kind)
     # The headline path (VMEM-resident whole solve) streams almost nothing,
     # so the meaningful baseline is the VPU-compute speed-of-light
-    # (measured elementwise ceiling / 35 ops per px-sweep); the fp32
+    # (architectural VPU peak / 25 fused instructions per px-sweep); the fp32
     # HBM-streaming SoL is reported alongside for the paths that stream
     # (round-3 VERDICT item 6: "3.1x streaming SoL" was a category error).
     sol_compute = compute_roofline_gpx_sweeps(kind)

@@ -251,6 +251,11 @@ def _cmd_video(args, overrides):
     lk_cfg = rc.lk if method == "lk" else None
     tvl1_cfg = rc.tvl1 if method == "tvl1" else None
     if args.occlusion:
+        if args.warm is not None:
+            raise SystemExit(
+                "--warm and --occlusion are mutually exclusive (the "
+                "occlusion stream batches both directions per chunk)"
+            )
         # Both directions per chunk in one 2B-batch solve + fb masks
         # (model-agnostic — works for hs, lk, and tvl1 streams).
         stream = (
@@ -262,6 +267,12 @@ def _cmd_video(args, overrides):
     elif args.warm is not None:
         if method != "hs":
             raise SystemExit("--warm is HS streaming only")
+        if mesh is not None:
+            raise SystemExit(
+                "--warm streams sequentially and cannot honor the "
+                "configured mesh batch sharding; drop --warm or the "
+                "mesh.batch override"
+            )
         # --warm implies single-level solving: the standing flow prior
         # replaces the pyramid's coarse-to-fine bootstrapping on coherent
         # video (the pyramid API has no warm-start seam).

@@ -8,7 +8,9 @@ measured cost tracks the field stream: 16 B/px/sweep of Ex/Ey/Et/1-per-den
 reads alone put the streaming bound at ~51 Gpx*sweeps/s (819/16).
 
 This schedule covers the gap class — frames whose u and v arrays BOTH fit
-VMEM even though the 8-array set does not (~2.6-11 Mpx fp32: 1440p, 4K) —
+VMEM even though the 8-array set does not (~2.6-11 Mpx fp32) — in AUTO
+routing only its >= _MIN_PX = 6 Mpx slice (4K), where it beat the fused
+pipeline; 1440p measured faster on fused (see _MIN_PX) —
 with two ideas on top of the megakernel:
 
   * u and v live in VMEM scratch for the WHOLE solve (2 arrays, ~67 MB at

@@ -306,7 +306,8 @@ def solve_level(
                 return Flow(*out)
         if skewed_solve_enabled(iters):
             # u/v-resident time-skewed kernel for the 2-array-residency
-            # class (1440p-4K). Returns None outside it.
+            # class (auto: >= 6 Mpx, i.e. 4K — HSFLOW_SKEWED_MIN_PX to
+            # widen). Returns None outside it.
             from opticalflowhs_tpu.kernels.solve_skewed import hs_solve_skewed
 
             out = hs_solve_skewed(
@@ -355,9 +356,13 @@ def solve_level(
 
         dtype = jnp.dtype(cfg.dtype)
         b = cfg.block_sweeps if cfg.block_sweeps > 0 else 16
-        if _sr.applicable(i1, b, cfg.deriv_variant) is not None:
-            i1c = i1.astype(dtype)
-            i2c = i2.astype(dtype)
+        # class check on the CAST array: the residency budget depends on
+        # cfg.dtype, not the caller's input dtype (a bf16 input inside the
+        # bf16 class but outside the fp32 class would otherwise route here
+        # and have run_block return None mid-while_loop)
+        i1c = i1.astype(dtype)
+        i2c = i2.astype(dtype)
+        if _sr.applicable(i1c, b, cfg.deriv_variant) is not None:
 
             def run_block(uu, vv, nn):
                 return _sr.hs_solve_resident(

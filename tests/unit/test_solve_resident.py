@@ -205,3 +205,22 @@ def test_tol_solve_rides_resident_blocks(monkeypatch):
     assert calls["n"] >= 1  # the resident block runner was traced
     assert float(jnp.abs(fp.u - fj.u).max()) <= TOL
     assert float(jnp.abs(fp.v - fj.v).max()) <= TOL
+
+
+def test_tol_resident_gate_uses_cast_dtype():
+    # regression (round-4 review): bf16 inputs inside the bf16 residency
+    # class but outside the fp32 class must NOT take the resident-blocked
+    # tol route when cfg.dtype is float32 — the gate checks the CAST
+    # array. Trace-only (eval_shape); the bug raised TypeError at trace.
+    import opticalflowhs_tpu.solver as solver
+    from opticalflowhs_tpu.config import HSConfig
+
+    h, w = 2036, 1920
+    assert sr.pick_geometry(h, w, jnp.bfloat16) is not None
+    assert sr.pick_geometry(h, w, jnp.float32) is None
+    i1 = jax.ShapeDtypeStruct((h, w), jnp.bfloat16)
+    cfg = HSConfig(alpha=0.5, iters=64, tol=1e-3, backend="pallas")
+    out = jax.eval_shape(
+        lambda a, b: solver.solve_level(a, b, cfg, cfg.iters), i1, i1
+    )
+    assert out.u.shape == (h, w)
