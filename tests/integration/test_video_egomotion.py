@@ -217,3 +217,21 @@ def test_flow_stream_warm_matches_cold_at_reduced_budget():
     e_cold100 = interior_err(cold_last)
     # 25 warm iters at pair 5 should be at least as accurate as 100 cold
     assert e_warm <= e_cold100 * 1.05, (e_warm, e_cold100)
+
+
+def test_flow_stream_warm_composes_with_tol():
+    """Warm start + solve-to-tolerance: the natural streaming mode — each
+    pair stops as soon as the warm-started solve converges."""
+    import jax.numpy as jnp
+
+    from opticalflowhs_tpu.config import HSConfig
+    from opticalflowhs_tpu.data.synthetic import synthetic_sequence
+    from opticalflowhs_tpu.video import flow_stream_warm
+
+    frames, gt = synthetic_sequence(4, 48, 64, tx=1.0, ty=0.0, key=9)
+    cfg = HSConfig(alpha=0.2, iters=200, tol=5e-4, block_sweeps=8,
+                   backend="jnp")
+    flows = list(flow_stream_warm(frames, cfg, chunk=2))
+    assert len(flows) == 3
+    u = flows[-1].u[8:-8, 8:-8]
+    assert abs(float(jnp.mean(u)) - 1.0) < 0.35  # converged toward GT
