@@ -250,6 +250,8 @@ def _cmd_video(args, overrides):
     idx = 0
     lk_cfg = rc.lk if method == "lk" else None
     tvl1_cfg = rc.tvl1 if method == "tvl1" else None
+    if args.warm_warp and args.warm is None:
+        raise SystemExit("--warm-warp requires --warm")
     if args.occlusion:
         if args.warm is not None:
             raise SystemExit(
@@ -282,7 +284,8 @@ def _cmd_video(args, overrides):
         stream = (
             (Flow(fl.u[None], fl.v[None]), None)
             for fl in flow_stream_warm(
-                frames, rc.hs, warm_scale=args.warm, chunk=args.chunk
+                frames, rc.hs, warm_scale=args.warm, chunk=args.chunk,
+                warp_prior=args.warm_warp,
             )
         )
     else:
@@ -592,6 +595,12 @@ def main(argv=None) -> int:
              "pair's solve with the previous flow scaled by SCALE "
              "(default 1.0) — cuts the iteration budget several-fold on "
              "coherent video (video.flow_stream_warm)",
+    )
+    pv.add_argument(
+        "--warm-warp", action="store_true",
+        help="with --warm: warp frame 2 by the prior and solve the "
+             "residual (pyramid bootstrap on the first pair) — tracks "
+             "motion beyond the ~1 px HS linearization range",
     )
     pv.add_argument("--method", choices=["hs", "lk", "tvl1"], default=None,
                     help="flow model family (default: config's, hs)")

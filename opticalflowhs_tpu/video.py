@@ -111,6 +111,7 @@ def flow_stream_warm(
     cfg: HSConfig = HSConfig(),
     warm_scale: float = 1.0,
     chunk: int = 8,
+    warp_prior: bool = False,
 ) -> Iterator[Flow]:
     """Sequential streaming flow with TEMPORAL warm start (round 4).
 
@@ -126,16 +127,40 @@ def flow_stream_warm(
     the resident whole-solve kernel (solver.solve_level routes warm
     starts through its u0/v0 path, one launch per pair). `chunk` only
     sizes the prefetch windows (P6 pipeline), not the batching.
+
+    `warp_prior=True` additionally WARPS frame 2 by the prior before the
+    solve and adds the residual back — the temporal analog of the
+    pyramid's coarse-to-fine warp, for motion beyond the ~1 px HS
+    linearization range: an init-only warm start cannot recover a 3
+    px/frame pan at a small budget, the warp prior can
+    (tests/integration/test_video_egomotion.py). The FIRST pair (no prior
+    yet) bootstraps with a 3-level pyramid solve; after that every pair
+    is one cheap full-resolution residual solve. Composes with cfg.tol.
     """
     from opticalflowhs_tpu.solver import hs_solve
 
     prev: Optional[Flow] = None
     for cur in _prefetched_windows(frames, chunk):
         for k in range(cur.shape[0] - 1):
-            init = None
-            if prev is not None:
+            if prev is None:
+                if warp_prior:
+                    from opticalflowhs_tpu.config import PyramidConfig
+                    from opticalflowhs_tpu.pyramid import hs_pyramid
+
+                    prev = hs_pyramid(cur[k], cur[k + 1], cfg,
+                                      PyramidConfig(levels=3))
+                else:
+                    prev = hs_solve(cur[k], cur[k + 1], cfg)
+            elif warp_prior:
+                from opticalflowhs_tpu.pyramid import warp
+
+                base = Flow(prev.u * warm_scale, prev.v * warm_scale)
+                f2w = warp(cur[k + 1], base.u, base.v)
+                d = hs_solve(cur[k], f2w, cfg)
+                prev = Flow(base.u + d.u, base.v + d.v)
+            else:
                 init = Flow(prev.u * warm_scale, prev.v * warm_scale)
-            prev = hs_solve(cur[k], cur[k + 1], cfg, init=init)
+                prev = hs_solve(cur[k], cur[k + 1], cfg, init=init)
             yield prev
 
 

@@ -235,3 +235,31 @@ def test_flow_stream_warm_composes_with_tol():
     assert len(flows) == 3
     u = flows[-1].u[8:-8, 8:-8]
     assert abs(float(jnp.mean(u)) - 1.0) < 0.35  # converged toward GT
+
+
+def test_flow_stream_warm_warp_prior_recovers_large_motion():
+    """warp_prior=True: after the pyramid bootstrap, each pair is one
+    cheap full-res residual solve, and a 3 px/frame pan — far beyond the
+    HS linearization range — stays locked, where the init-only warm start
+    loses it."""
+    import numpy as np
+
+    from opticalflowhs_tpu.config import HSConfig
+    from opticalflowhs_tpu.data.synthetic import synthetic_sequence
+    from opticalflowhs_tpu.video import flow_stream_warm
+
+    frames, gt = synthetic_sequence(5, 96, 128, tx=3.0, ty=0.0, key=4,
+                                    max_freq=0.08)
+    cfg = HSConfig(alpha=0.2, iters=40, backend="jnp")
+
+    def err(flow):
+        u = np.asarray(flow.u)[12:-12, 12:-12]
+        v = np.asarray(flow.v)[12:-12, 12:-12]
+        return float(np.sqrt((u - gt[0]) ** 2 + (v - gt[1]) ** 2).mean())
+
+    warp = list(flow_stream_warm(frames, cfg, chunk=4, warp_prior=True))
+    init = list(flow_stream_warm(frames, cfg, chunk=4))
+    e_warp = err(warp[-1])
+    e_init = err(init[-1])
+    assert e_warp < 0.5, e_warp
+    assert e_warp < e_init * 0.5, (e_warp, e_init)
