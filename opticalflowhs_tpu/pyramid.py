@@ -223,15 +223,26 @@ def warp_bilinear_tiled(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp
     bx = jnp.clip(dx_t - bxt[:, :, None, None] + r, 0, k - 2).astype(jnp.int32)
     code = ay * k + bx
 
+    # Lane-dim (b) slicing hoisted out of the inner loop: an unaligned
+    # lane-offset slice relayouts its whole operand, so slicing inside
+    # both loops paid 4*(k-1)^2 = 324 relayouts; hoisting leaves k = 10
+    # (consecutive b-slices are shared via bb/bb1) plus cheap sublane
+    # slices inside. Measured 3.91 -> 3.13 ms standalone at 1080p, exact
+    # (tools/hw_warp_split.py round 4); the 3-level pyramid total is
+    # unchanged (8.31 ms) — inside the pyramid jit XLA already overlaps
+    # the select loop — so the win accrues to standalone warp callers.
     z = jnp.zeros((nh, nw, th, tw), img.dtype)
     p00, p01, p10, p11 = z, z, z, z
-    for a in range(k - 1):
-        for b in range(k - 1):
+    bb = blocks[:, :, :, 0:tw]
+    for b in range(k - 1):
+        bb1 = blocks[:, :, :, b + 1 : b + 1 + tw]
+        for a in range(k - 1):
             m = code == (a * k + b)
-            p00 = jnp.where(m, blocks[:, :, a : a + th, b : b + tw], p00)
-            p01 = jnp.where(m, blocks[:, :, a : a + th, b + 1 : b + 1 + tw], p01)
-            p10 = jnp.where(m, blocks[:, :, a + 1 : a + 1 + th, b : b + tw], p10)
-            p11 = jnp.where(m, blocks[:, :, a + 1 : a + 1 + th, b + 1 : b + 1 + tw], p11)
+            p00 = jnp.where(m, bb[:, :, a : a + th, :], p00)
+            p01 = jnp.where(m, bb1[:, :, a : a + th, :], p01)
+            p10 = jnp.where(m, bb[:, :, a + 1 : a + 1 + th, :], p10)
+            p11 = jnp.where(m, bb1[:, :, a + 1 : a + 1 + th, :], p11)
+        bb = bb1
 
     def untile(a):
         return a.transpose(0, 2, 1, 3).reshape(hp, wp)[:h, :w]
