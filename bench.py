@@ -71,7 +71,15 @@ def main():
                 "value": round(gpx_sweeps, 3),
                 "unit": "Gpx*sweeps/s/chip",
                 "vs_baseline": round(gpx_sweeps / sol_compute, 4),
+                "vs_compute_sol": round(gpx_sweeps / sol_compute, 4),
+                "vs_streaming_sol": round(gpx_sweeps / sol_stream, 4),
                 "detail": {
+                    # vs_baseline changed denominator in round 4 (25.6
+                    # streaming SoL -> 245.6 compute SoL, a ~9.6x drop with
+                    # `value` unchanged); the two explicit vs_* fields above
+                    # carry both denominations so cross-round trending has a
+                    # stable key (ADVICE r04).
+                    "vs_baseline_denominator_changed_in": "round 4",
                     "shape": [h, w],
                     "iters": iters,
                     "backend": backend,

@@ -269,6 +269,14 @@ def _cmd_video(args, overrides):
     elif args.warm is not None:
         if method != "hs":
             raise SystemExit("--warm is HS streaming only")
+        if any(k.startswith("pyramid.") for k in overrides):
+            # Same hard-conflict treatment as --warm + mesh/--occlusion:
+            # silently dropping an explicit pyramid request would be a trap.
+            raise SystemExit(
+                "--warm streams single-level (the standing flow prior "
+                "replaces the pyramid's coarse-to-fine bootstrap); drop "
+                "--warm or the --pyramid.* override"
+            )
         if mesh is not None:
             raise SystemExit(
                 "--warm streams sequentially and cannot honor the "
