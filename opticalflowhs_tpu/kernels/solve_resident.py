@@ -91,17 +91,31 @@ _FORCE_NB = int(os.environ.get("HSFLOW_RESIDENT_NB", "0"))  # 0 = auto
 _BLOCK_S = int(os.environ.get("HSFLOW_RESIDENT_S", "1"))
 
 
-def pick_geometry(h: int, w: int, dtype):
+def pick_geometry(h: int, w: int, dtype, stages: int = 1):
     """Smallest band count whose residency estimate fits the budget.
 
     Returns (nb, band, hp, wp) or None. Fewer bands = larger per-op arrays
     = better amortization of Mosaic's per-op fixed cost (docs/PERFORMANCE.md
     §"per-op fixed cost"), so the first fit wins.
+
+    `stages` = halo decay rings per sweep: 1 for Jacobi, 4 for 4-color SOR
+    (a color stage reads pixels its predecessors updated this sweep, so the
+    inter-band decay halo is 4x wider per sweep — kernels/sor.py). The SOR
+    temporaries also hold the four color masks.
     """
     sub = _sublane(dtype)
     nbytes = jnp.dtype(dtype).itemsize
     wp = _round_up(w, _LANE)
     h_units = -(-h // sub)
+    # SOR's 4-stage unrolled sweep holds far more live window values than
+    # Jacobi's single step: the first 1080p compile (4 live boolean color
+    # masks) measured 67 MB of register-allocator spill slots at win=384
+    # and OOM'd the 128 MB VMEM; the single parity-code grid cut the live
+    # set enough that nb=4 (win=288) compiles and measured FASTER than
+    # nb=6 (5.997 vs 6.253 ms at 1080p i50, tools/hw_sor_resident_ab.py)
+    # while nb=3 would still exceed the ~120.5 MB scoped limit. The +12
+    # (22 window temporaries) calibration reproduces exactly that ranking.
+    temp_arrays = _TEMP_ARRAYS + (12 if stages > 1 else 0)
     for nb in range(1, h_units + 1):
         if _FORCE_NB and nb != _FORCE_NB:
             continue
@@ -109,9 +123,11 @@ def pick_geometry(h: int, w: int, dtype):
         band = units * sub
         hp = band * nb
         s = max(1, min(_BLOCK_S, band))
-        sigma = 0 if nb == 1 else _round_up(s, sub)
+        sigma = 0 if nb == 1 else _round_up(stages * s, sub)
+        if nb > 1 and sigma > band:
+            continue  # window origins/extents would leave the array
         resident = _RESIDENT_ARRAYS * hp * wp * nbytes
-        temps = _TEMP_ARRAYS * (band + 2 * sigma) * wp * nbytes
+        temps = temp_arrays * (band + 2 * sigma) * wp * nbytes
         deriv_win = 2 * (band + sub) * wp * nbytes
         if _FORCE_NB or resident + temps + deriv_win <= _LIMIT:
             # a forced band count bypasses the budget estimate — it is an
@@ -148,7 +164,8 @@ def _resident_body(bsel, i1_hbm, i2_hbm, u0_hbm, v0_hbm,
                    w1_ref, w2_ref, sem, uo_any, vo_any, *,
                    nb: int, band: int, hp: int, wp: int, h: int, w: int,
                    sub: int, s_blk: int, sigma: int, n_sweeps: int,
-                   alpha2: float, variant: str, zero_init: bool):
+                   alpha2: float, variant: str, zero_init: bool,
+                   omega: float = 0.0, stages: int = 1):
     """Shared solve body. bsel = the batch index (None when unbatched) —
     frame DMA sources index it; uo_any/vo_any are the batched (B, hp, wp)
     HBM outputs the final ping-pong pair is DMA'd into (None when the
@@ -261,7 +278,25 @@ def _resident_body(bsel, i1_hbm, i2_hbm, u0_hbm, v0_hbm,
             else:
                 gcw = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
                 m_rt = gcw == w - 1
-            if shortcut:
+            if stages > 1:
+                # 4-color SOR: color parity keys off GLOBAL coordinates
+                # (w0 is the window's global row origin; col origin is 0
+                # for whole frames). ONE hoisted parity-code grid, one
+                # compare per stage — holding the four boolean masks live
+                # across the unrolled stage loop measured 67 MB of register
+                # spill and OOM'd VMEM (see pick_geometry). Built from
+                # fresh iotas (sliced broadcast masks check-fail in Mosaic
+                # — docs/PERFORMANCE.md round-2 fused-RDMA lesson a).
+                grw = w0 + jax.lax.broadcasted_iota(jnp.int32, (win, wp), 0)
+                gcw2 = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
+                color_code = (grw % 2) * 2 + gcw2 % 2
+            if shortcut and stages > 1:
+                # SOR has no closed first-sweep form (stage c reads stages
+                # < c); start from explicit zeros like the oracle.
+                u = jnp.zeros((win, wp), exw.dtype)
+                v = jnp.zeros((win, wp), exw.dtype)
+                k0 = 0
+            elif shortcut:
                 # exact oracle first step from u = v = 0
                 # (neighbor_avg(0) == 0), valid at every window row
                 frac = etw * invdw
@@ -273,11 +308,24 @@ def _resident_body(bsel, i1_hbm, i2_hbm, u0_hbm, v0_hbm,
                 v = src_v[slw]
                 k0 = 0
             for _k in range(k0, ns):
-                ubar = _navg_win(u, top_edge, bot_edge, m_bot, m_rt)
-                vbar = _navg_win(v, top_edge, bot_edge, m_bot, m_rt)
-                frac = (exw * ubar + eyw * vbar + etw) * invdw
-                u = ubar - exw * frac
-                v = vbar - eyw * frac
+                if stages > 1:
+                    # one 4-color SOR sweep; association order mirrors
+                    # ops.stencils.sor_step exactly (oracle invariant)
+                    for c in range(4):
+                        cm = color_code == c
+                        ubar = _navg_win(u, top_edge, bot_edge, m_bot, m_rt)
+                        vbar = _navg_win(v, top_edge, bot_edge, m_bot, m_rt)
+                        frac = (exw * ubar + eyw * vbar + etw) * invdw
+                        un = ubar - exw * frac
+                        vn = vbar - eyw * frac
+                        u = jnp.where(cm, u + omega * (un - u), u)
+                        v = jnp.where(cm, v + omega * (vn - v), v)
+                else:
+                    ubar = _navg_win(u, top_edge, bot_edge, m_bot, m_rt)
+                    vbar = _navg_win(v, top_edge, bot_edge, m_bot, m_rt)
+                    frac = (exw * ubar + eyw * vbar + etw) * invdw
+                    u = ubar - exw * frac
+                    v = vbar - eyw * frac
             slb = pl.ds(r0, band)
             dst_u[slb] = u[lo : lo + band]
             dst_v[slb] = v[lo : lo + band]
@@ -359,7 +407,8 @@ def _resident_kernel_b(i1_hbm, i2_hbm,
                    zero_init=True, **kw)
 
 
-def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
+def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret,
+                omega=0.0, stages=1):
     h, w = i1.shape
     nb, band, hp, wp, s_blk, sigma = geom
     sub = _sublane(i1.dtype)
@@ -381,6 +430,7 @@ def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom, interpret):
             sub=sub, s_blk=s_blk, sigma=sigma, n_sweeps=n_sweeps,
             alpha2=float(alpha) * float(alpha),
             variant=variant, zero_init=zero_init,
+            omega=omega, stages=stages,
         ),
         out_shape=(out, out, out, out),  # u/v ping-pong pairs A and B
         in_specs=[any_spec] * 4,
@@ -597,3 +647,131 @@ def hs_solve_resident(
                               interpret)
     return _solve_warm_ad(i1, i2, u0, v0, alpha, n_sweeps, variant, geom,
                           interpret)
+
+
+# -- VMEM-resident 4-color SOR whole solve (round 5) ---------------------------
+#
+# Same schedule as the Jacobi resident kernel — ONE launch, in-kernel
+# derivatives, resident fields + u/v ping-pong pairs — with the sweep body
+# replaced by the 4-color SOR stage loop (stages=4) and the inter-band decay
+# halo widened to 4 rings per sweep (pick_geometry(stages=4)). Motivation
+# (round-4 VERDICT item 1): SOR was the time-to-EPE winner by only 13%
+# because its banded kernel ran 0.161 ms/sweep vs Jacobi-resident's ~0.023
+# at 1080p — the banded path re-streams all six fields plus 4*s-row halo
+# slabs every s sweeps and rebuilds masks per launch; residency removes all
+# of it, leaving the 4 neighborhood averages as the only structural cost.
+
+
+def _jnp_twin_sor(i1, i2, u0, v0, alpha, n_sweeps, omega, variant):
+    """Whole-solve jnp twin (derivatives + n 4-color SOR sweeps) for the
+    backward pass; composes the same canonical twins as _jnp_twin."""
+    from opticalflowhs_tpu.kernels.derivatives import _jnp_deriv_twin
+    from opticalflowhs_tpu.ops import stencils
+
+    ex, ey, et, invd = _jnp_deriv_twin(i1, i2, alpha, variant)
+    if u0 is None:
+        u0 = jnp.zeros_like(ex)
+        v0 = jnp.zeros_like(ex)
+    colors = stencils.color_masks(*i1.shape)
+    return stencils.checkpointed_loop(
+        lambda uv: stencils.sor_step(
+            uv[0], uv[1], ex, ey, et, invd, omega, colors
+        ),
+        (u0, v0), n_sweeps,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _sor_zero_ad(i1, i2, alpha, n_sweeps, omega, variant, geom, interpret):
+    return _solve_impl(i1, i2, None, None, alpha, n_sweeps, variant, geom,
+                       interpret, omega=omega, stages=4)
+
+
+def _sor_zero_fwd(i1, i2, alpha, n_sweeps, omega, variant, geom, interpret):
+    out = _solve_impl(i1, i2, None, None, alpha, n_sweeps, variant, geom,
+                      interpret, omega=omega, stages=4)
+    return out, (i1, i2)
+
+
+def _sor_zero_bwd(alpha, n_sweeps, omega, variant, geom, interpret, res, ct):
+    i1, i2 = res
+    _, vjp = jax.vjp(
+        lambda a, b: _jnp_twin_sor(a, b, None, None, alpha, n_sweeps, omega,
+                                   variant),
+        i1, i2,
+    )
+    return vjp(ct)
+
+
+_sor_zero_ad.defvjp(_sor_zero_fwd, _sor_zero_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _sor_warm_ad(i1, i2, u0, v0, alpha, n_sweeps, omega, variant, geom,
+                 interpret):
+    return _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom,
+                       interpret, omega=omega, stages=4)
+
+
+def _sor_warm_fwd(i1, i2, u0, v0, alpha, n_sweeps, omega, variant, geom,
+                  interpret):
+    out = _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, variant, geom,
+                      interpret, omega=omega, stages=4)
+    return out, (i1, i2, u0, v0)
+
+
+def _sor_warm_bwd(alpha, n_sweeps, omega, variant, geom, interpret, res, ct):
+    i1, i2, u0, v0 = res
+    _, vjp = jax.vjp(
+        lambda a, b, u, v: _jnp_twin_sor(a, b, u, v, alpha, n_sweeps, omega,
+                                         variant),
+        i1, i2, u0, v0,
+    )
+    return vjp(ct)
+
+
+_sor_warm_ad.defvjp(_sor_warm_fwd, _sor_warm_bwd)
+
+
+def applicable_sor(i1, n_sweeps: int, variant: str):
+    """Geometry tuple when the resident SOR schedule covers this solve,
+    else None (same class rules as `applicable`, with the 4-ring-per-sweep
+    decay halo and color-mask temporaries in the budget)."""
+    if i1.ndim != 2 or n_sweeps < 1 or variant != "hs_cube":
+        return None
+    return pick_geometry(*i1.shape, i1.dtype, stages=4)
+
+
+def hs_solve_resident_sor(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    alpha: float,
+    n_sweeps: int,
+    omega: float,
+    variant: str = "hs_cube",
+    u0: jnp.ndarray | None = None,
+    v0: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+):
+    """Whole 4-color SOR solve (derivatives + n sweeps) in ONE Pallas
+    launch with VMEM-resident fields and flow buffers.
+
+    Returns (u, v), or None when the resident schedule does not apply;
+    the caller falls back to kernels/sor.py's banded/VMEM path. Exact twin
+    of ops.stencils.sor_step loops (same stage order and association);
+    differentiable via the whole-solve custom_vjp against the jnp twin.
+    """
+    if (u0 is None) != (v0 is None):
+        raise ValueError("u0 and v0 must be given together")
+    geom = applicable_sor(i1, n_sweeps, variant)
+    if geom is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    alpha = float(alpha)
+    omega = float(omega)
+    if u0 is None:
+        return _sor_zero_ad(i1, i2, alpha, n_sweeps, omega, variant, geom,
+                            interpret)
+    return _sor_warm_ad(i1, i2, u0, v0, alpha, n_sweeps, omega, variant,
+                        geom, interpret)

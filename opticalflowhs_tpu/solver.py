@@ -279,6 +279,70 @@ def solve_level(
     with_init = u0 is not None
     if (
         whole_solve_ok
+        and cfg.solver == "sor"
+        and cfg.omega > 0  # omega == 0 means auto-tune upstream (hs_solve)
+        and cfg.tol == 0
+        and resolve_backend(cfg.backend) == "pallas"
+        and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
+        and resident_solve_enabled(iters)
+        and os.environ.get("HSFLOW_RESIDENT_SOR", "1") != "0"
+    ):
+        # VMEM-resident 4-color SOR whole solve (round 5): ONE launch for
+        # derivatives + every sweep. Won its A/B vs the banded SOR kernel
+        # decisively (tools/hw_sor_resident_ab.py); returns None outside
+        # its residency class and falls through to kernels/sor.py.
+        from opticalflowhs_tpu.kernels.solve_resident import (
+            hs_solve_resident_sor,
+        )
+
+        dtype = jnp.dtype(cfg.dtype)
+        out = hs_solve_resident_sor(
+            i1.astype(dtype),
+            i2.astype(dtype),
+            cfg.alpha,
+            iters,
+            cfg.omega,
+            cfg.deriv_variant,
+            u0=u0.astype(dtype) if with_init else None,
+            v0=v0.astype(dtype) if with_init else None,
+        )
+        if out is not None:
+            return Flow(*out)
+    if (
+        whole_solve_ok
+        and cfg.solver == "robust"
+        and cfg.tol == 0
+        and resolve_backend(cfg.backend) == "pallas"
+        and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
+        and resident_solve_enabled(iters)
+        and os.environ.get("HSFLOW_RESIDENT_ROBUST", "1") != "0"
+    ):
+        # VMEM-resident Charbonnier-IRLS whole solve (round 5): ONE launch
+        # for derivatives + every weight refreeze + every sweep — the
+        # measured answer to the round-4 "a Pallas version would re-pay
+        # per-launch dispatch" claim (tools/hw_robust_ab.py). Returns None
+        # outside its residency class; falls through to the jnp IRLS.
+        import dataclasses
+
+        from opticalflowhs_tpu.kernels.solve_robust import (
+            hs_solve_robust_resident,
+        )
+
+        dtype = jnp.dtype(cfg.dtype)
+        out = hs_solve_robust_resident(
+            i1.astype(dtype),
+            i2.astype(dtype),
+            # the kernel bakes cfg.iters; honor this call's per-level budget
+            cfg if iters == cfg.iters else dataclasses.replace(
+                cfg, iters=iters
+            ),
+            u0=u0.astype(dtype) if with_init else None,
+            v0=v0.astype(dtype) if with_init else None,
+        )
+        if out is not None:
+            return Flow(*out)
+    if (
+        whole_solve_ok
         and cfg.solver == "jacobi"
         and cfg.tol == 0  # whole-solve kernels bake a fixed sweep schedule
         and resolve_backend(cfg.backend) == "pallas"
@@ -342,7 +406,9 @@ def solve_level(
     if (
         whole_solve_ok
         and cfg.tol > 0
-        and cfg.solver == "jacobi"
+        and (cfg.solver == "jacobi"
+             or (cfg.solver == "sor" and cfg.omega > 0
+                 and os.environ.get("HSFLOW_RESIDENT_SOR", "1") != "0"))
         and resolve_backend(cfg.backend) == "pallas"
         and resident_solve_enabled(max(iters, 2))
         and os.environ.get("HSFLOW_DERIV_KERNEL", "1") != "0"
@@ -351,7 +417,8 @@ def solve_level(
         # warm-started resident whole-solve launch (the in-kernel
         # derivative stage re-runs per block — a few percent of a block —
         # in exchange for the resident schedule's per-sweep rate). The
-        # stop semantics stay in sweeps_until.
+        # stop semantics stay in sweeps_until. Covers both the Jacobi and
+        # (round 5) the 4-color-SOR resident kernels.
         from opticalflowhs_tpu.kernels import solve_resident as _sr
 
         dtype = jnp.dtype(cfg.dtype)
@@ -362,9 +429,16 @@ def solve_level(
         # and have run_block return None mid-while_loop)
         i1c = i1.astype(dtype)
         i2c = i2.astype(dtype)
-        if _sr.applicable(i1c, b, cfg.deriv_variant) is not None:
+        is_sor = cfg.solver == "sor"
+        applic = _sr.applicable_sor if is_sor else _sr.applicable
+        if applic(i1c, b, cfg.deriv_variant) is not None:
 
             def run_block(uu, vv, nn):
+                if is_sor:
+                    return _sr.hs_solve_resident_sor(
+                        i1c, i2c, cfg.alpha, nn, cfg.omega,
+                        cfg.deriv_variant, u0=uu, v0=vv,
+                    )
                 return _sr.hs_solve_resident(
                     i1c, i2c, cfg.alpha, nn, cfg.deriv_variant,
                     u0=uu, v0=vv,

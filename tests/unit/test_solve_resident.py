@@ -224,3 +224,149 @@ def test_tol_resident_gate_uses_cast_dtype():
         lambda a, b: solver.solve_level(a, b, cfg, cfg.iters), i1, i1
     )
     assert out.u.shape == (h, w)
+
+
+# -- VMEM-resident 4-color SOR whole solve (round 5) ---------------------------
+
+
+def _oracle_sor(i1, i2, alpha, n, omega, u0=None, v0=None):
+    ex, ey, et = stencils.derivatives(i1, i2)
+    invd = 1.0 / (alpha * alpha + ex * ex + ey * ey)
+    colors = stencils.color_masks(*i1.shape)
+    u = jnp.zeros_like(ex) if u0 is None else u0
+    v = jnp.zeros_like(ex) if v0 is None else v0
+    for _ in range(n):
+        u, v = stencils.sor_step(u, v, ex, ey, et, invd, omega, colors)
+    return u, v
+
+
+@pytest.mark.parametrize("nb", [1, 2, 3])
+@pytest.mark.parametrize(
+    "shape,n,omega",
+    [
+        ((192, 128), 7, 1.6),   # aligned both dims
+        ((200, 120), 8, 1.9),   # bottom + right pad
+        ((131, 130), 5, 1.3),   # odd everything (odd H exercises parity
+                                #  of the global color grids across bands)
+        ((96, 256), 1, 1.5),    # single sweep
+    ],
+)
+def test_sor_matches_oracle(shape, n, omega, nb, monkeypatch):
+    monkeypatch.setattr(sr, "_FORCE_NB", nb)
+    i1, i2 = _frames(*shape)
+    out = sr.hs_solve_resident_sor(i1, i2, 0.5, n, omega, interpret=True)
+    assert out is not None
+    ur, vr = _oracle_sor(i1, i2, 0.5, n, omega)
+    assert float(jnp.abs(out[0] - ur).max()) <= TOL
+    assert float(jnp.abs(out[1] - vr).max()) <= TOL
+
+
+def test_sor_warm_start(monkeypatch):
+    monkeypatch.setattr(sr, "_FORCE_NB", 2)
+    i1, i2 = _frames(192, 128, seed=1)
+    rng = np.random.default_rng(7)
+    u0 = jnp.asarray(rng.normal(0, 0.5, i1.shape).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(0, 0.5, i1.shape).astype(np.float32))
+    for n in (3, 4):
+        out = sr.hs_solve_resident_sor(i1, i2, 0.5, n, 1.7, u0=u0, v0=v0,
+                                       interpret=True)
+        ur, vr = _oracle_sor(i1, i2, 0.5, n, 1.7, u0=u0, v0=v0)
+        assert float(jnp.abs(out[0] - ur).max()) <= TOL, n
+        assert float(jnp.abs(out[1] - vr).max()) <= TOL, n
+
+
+def test_sor_not_applicable_cases():
+    i1, i2 = _frames(64, 128)
+    assert sr.hs_solve_resident_sor(i1, i2, 0.5, 4, 1.5, variant="central",
+                                    interpret=True) is None
+    assert sr.hs_solve_resident_sor(i1[None], i2[None], 0.5, 4, 1.5,
+                                    interpret=True) is None
+    assert sr.pick_geometry(10_000, 10_000, jnp.float32, stages=4) is None
+
+
+def test_sor_gradients_match_jnp_twin(monkeypatch):
+    monkeypatch.setattr(sr, "_FORCE_NB", 2)
+    i1, i2 = _frames(96, 128, seed=2)
+
+    def loss_kernel(a, b):
+        u, v = sr.hs_solve_resident_sor(a, b, 0.5, 4, 1.5, interpret=True)
+        return jnp.sum(u * u) + jnp.sum(v)
+
+    def loss_jnp(a, b):
+        u, v = _oracle_sor(a, b, 0.5, 4, 1.5)
+        return jnp.sum(u * u) + jnp.sum(v)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1))(i1, i2)
+    g2 = jax.grad(loss_jnp, argnums=(0, 1))(i1, i2)
+    for a, b in zip(g1, g2):
+        assert float(jnp.abs(a - b).max()) <= 1e-4
+
+
+def test_solver_routes_resident_sor(monkeypatch):
+    # hs_solve(solver="sor") on the pallas backend rides the resident SOR
+    # whole-solve kernel and matches the jnp backend to kernel tolerance
+    import opticalflowhs_tpu.solver as solver
+    from opticalflowhs_tpu.config import HSConfig
+
+    monkeypatch.setenv("HSFLOW_RESIDENT_SOLVE", "1")
+    calls = {"n": 0}
+    orig = sr.hs_solve_resident_sor
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sr, "hs_solve_resident_sor", spy)
+    i1, i2 = _frames(192, 128, seed=5)
+    cfg_p = HSConfig(alpha=0.5, iters=8, solver="sor", omega=1.6,
+                     backend="pallas")
+    cfg_j = HSConfig(alpha=0.5, iters=8, solver="sor", omega=1.6,
+                     backend="jnp")
+    fp = solver.hs_solve(i1, i2, cfg_p)
+    assert calls["n"] == 1
+    fj = solver.hs_solve(i1, i2, cfg_j)
+    assert float(jnp.abs(fp.u - fj.u).max()) <= TOL
+    assert float(jnp.abs(fp.v - fj.v).max()) <= TOL
+
+
+def test_sor_tol_rides_resident_blocks(monkeypatch):
+    # cfg.tol > 0 with solver="sor" runs sweeps_until with warm-started
+    # resident SOR launches as check blocks; must equal the jnp tol path
+    import opticalflowhs_tpu.solver as solver
+    from opticalflowhs_tpu.config import HSConfig
+
+    monkeypatch.setattr(sr, "_FORCE_NB", 2)
+    monkeypatch.setenv("HSFLOW_RESIDENT_SOLVE", "1")
+    calls = {"n": 0}
+    orig = sr.hs_solve_resident_sor
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sr, "hs_solve_resident_sor", spy)
+    i1, i2 = _frames(192, 128, seed=8)
+    cfg_p = HSConfig(alpha=0.5, iters=48, tol=1e-4, block_sweeps=8,
+                     solver="sor", omega=1.6, backend="pallas")
+    cfg_j = HSConfig(alpha=0.5, iters=48, tol=1e-4, block_sweeps=8,
+                     solver="sor", omega=1.6, backend="jnp")
+    fp = solver.hs_solve(i1, i2, cfg_p)
+    assert calls["n"] >= 1
+    fj = solver.hs_solve(i1, i2, cfg_j)
+    assert float(jnp.abs(fp.u - fj.u).max()) <= TOL
+    assert float(jnp.abs(fp.v - fj.v).max()) <= TOL
+
+
+@pytest.mark.tpu
+def test_sor_resident_exact_on_hardware():
+    # real-chip leg: compiled resident SOR at 1080p vs the jnp backend
+    import opticalflowhs_tpu.solver as solver
+    from opticalflowhs_tpu.config import HSConfig
+
+    i1, i2 = _frames(1088, 1920, seed=9)
+    fp = solver.hs_solve(i1, i2, HSConfig(alpha=0.5, iters=20, solver="sor",
+                                          omega=1.7, backend="pallas"))
+    fj = solver.hs_solve(i1, i2, HSConfig(alpha=0.5, iters=20, solver="sor",
+                                          omega=1.7, backend="jnp"))
+    assert float(jnp.abs(fp.u - fj.u).max()) == 0.0
+    assert float(jnp.abs(fp.v - fj.v).max()) == 0.0
