@@ -108,12 +108,21 @@ class PyramidConfig:
     # fast; exact for smooth flows — pyramid.py), "gather" = reference
     # per-element XLA gather, "auto" = tiled.
     warp: str = "auto"
+    # Tiled-warp select half-width R (round-5 VERDICT item 4): the select
+    # loop costs (2R+1)^2 combos and dominated warp cost in the round-4
+    # anatomy. 0 = auto — measure the per-tile deviation on device and
+    # lax.cond between the R=2 and R=4 loops; exactness-preserving by
+    # construction (both loops are exact, and bitwise equal, whenever the
+    # cheap one is taken). Fixed values 1..8 pin R for experimentation.
+    warp_radius: int = 0
 
     def __post_init__(self):
         if self.levels < 1:
             raise ValueError("levels must be >= 1")
-        if self.warp not in ("auto", "tiled", "gather"):
-            raise ValueError("warp must be auto|tiled|gather")
+        if self.warp not in ("auto", "tiled", "gather", "checked"):
+            raise ValueError("warp must be auto|tiled|gather|checked")
+        if not 0 <= self.warp_radius <= 8:
+            raise ValueError("warp_radius must be 0 (auto) or 1..8")
         if self.iters_per_level and len(self.iters_per_level) != self.levels:
             raise ValueError("iters_per_level must match levels")
 
@@ -177,12 +186,21 @@ class TVL1Config:
                                 # (the standard robustness upgrade, Sun et
                                 # al. 2010; pure sort network, no gathers)
     dtype: str = "float32"
-    # Warp lowering, as PyramidConfig.warp: tiled | gather | auto. Unlike
-    # HS/LK, "auto" = GATHER here: the tiled warp's exactness contract
-    # (per-tile flow deviation <= 4 px from the tile mean) assumes the
-    # smooth fields HS produces, and TV-L1's entire purpose is sharp
-    # piecewise-constant motion boundaries that violate it. "tiled" is
-    # still selectable for smooth-motion streams where it's known safe.
+    # Inner-loop backend, as HSConfig.backend: "pallas" routes the v/u
+    # alternation through the VMEM-resident fused kernel
+    # (kernels/tvl1_inner.py, round 5) on single-frame untiled solves;
+    # "jnp" keeps the fori_loop of stencil ops (the oracle twin and the
+    # batched/tiled path); "auto" = pallas on TPU.
+    backend: str = "auto"
+    # Warp lowering, as PyramidConfig.warp: tiled | gather | checked |
+    # auto. Unlike HS/LK, "auto" = CHECKED here (round 5): the tiled
+    # warp's exactness contract (per-tile flow deviation <= 4 px from the
+    # tile mean) assumes the smooth fields HS produces, and TV-L1's entire
+    # purpose is sharp piecewise-constant motion boundaries that can
+    # violate it — the checked warp measures the deviation on device and
+    # falls back to the reference gather only when the fast path would be
+    # inexact (the gather warps were ~95% of the 543 ms/frame round-4
+    # figure). "tiled"/"gather" force either path.
     warp: str = "auto"
 
     def __post_init__(self):
@@ -194,8 +212,10 @@ class TVL1Config:
             raise ValueError("warps and iters must be >= 1")
         if any(w < 1 for w in self.warps_per_level):
             raise ValueError("warps_per_level entries must be >= 1")
-        if self.warp not in ("auto", "tiled", "gather"):
-            raise ValueError("warp must be auto|tiled|gather")
+        if self.warp not in ("auto", "tiled", "gather", "checked"):
+            raise ValueError("warp must be auto|tiled|gather|checked")
+        if self.backend not in BACKENDS:
+            raise ValueError(f"backend must be one of {BACKENDS}")
 
 
 @dataclass(frozen=True)

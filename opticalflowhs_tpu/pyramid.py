@@ -145,11 +145,17 @@ def warp_bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
 # an exact local-offset select loop of half-width R. Exact whenever the
 # per-tile deviation of the displacement from its rounded tile mean is <= R
 # (HS flows are globally smoothed, so this holds in practice); beyond that
-# the sampling position clamps to the reachable window.
+# the sampling position clamps to the reachable window. R is configurable
+# since round 5 (PyramidConfig.warp_radius): the select loop scales as
+# (2R+2-1)^2 — 81 combos at R=4, 25 at R=2 — and dominated warp cost in the
+# round-4 anatomy (docs/PERFORMANCE.md); radius=0 selects R on device from
+# the measured per-tile deviation, so the cut is exactness-preserving.
 _WARP_TH, _WARP_TW, _WARP_R = 32, 128, 4
 
 
-def warp_bilinear_tiled(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def warp_bilinear_tiled(
+    img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, radius: int = _WARP_R
+) -> jnp.ndarray:
     """TPU-fast backward warp (SURVEY.md §7 'bilinear warp on TPU').
 
     XLA's per-element gather runs at scalar-fetch speed (~60 ms for a 1080p
@@ -158,10 +164,18 @@ def warp_bilinear_tiled(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp
     tile, displaced by the tile's rounded mean flow, and (b) an exact local
     bilinear lookup inside the block via a static-slice select loop —
     (2R+2)^2 fused elementwise ops, no gathers. 2-D only (vmap for batches).
+
+    `radius`: select-loop half-width R. radius=0 = auto — measure the
+    per-tile max deviation on device (a cheap reduction over fields the
+    formulation already computes) and `lax.cond` between the R=2 and R=4
+    select loops: when every tile deviates <= 2 px from its rounded mean
+    (the common case for HS-smooth flows) both loops produce bitwise
+    identical exact samples, so auto only changes speed, never values.
+    Batched callers (vmap) should pass a fixed radius: vmap turns the cond
+    into a select that executes BOTH branches.
     """
     h, w = img.shape
-    th, tw, r = _WARP_TH, _WARP_TW, _WARP_R
-    k = 2 * r + 2  # local offset range per axis
+    th, tw = _WARP_TH, _WARP_TW
     nh = -(-h // th)
     nw = -(-w // tw)
     hp, wp = nh * th, nw * tw
@@ -195,54 +209,85 @@ def warp_bilinear_tiled(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp
     byt = jnp.round(dy_t.mean(axis=(2, 3))).astype(jnp.int32)  # (nh, nw)
     bxt = jnp.round(dx_t.mean(axis=(2, 3))).astype(jnp.int32)
 
-    # Coarse fetch: block origin = tile origin + mean displacement - R. The
-    # image is edge-padded far enough that every block lies fully inside the
-    # padded array for any tile-mean target within the clipped position
-    # range [-E, size-1+E] (worst-case origin excursion: E + tile/2 + R).
-    pad = e_margin + max(th, tw) + k + 2
-    imgp = jnp.pad(img, pad, mode="edge")
-    oy = jnp.arange(nh, dtype=jnp.int32) * th
-    ox = jnp.arange(nw, dtype=jnp.int32) * tw
-    start_y = oy[:, None] + byt - r + pad  # into imgp, (nh, nw)
-    start_x = ox[None, :] + bxt - r + pad
-    starts = jnp.stack([start_y.reshape(-1), start_x.reshape(-1)], axis=-1)
-    bh, bw = th + k, tw + k
-    blocks = jax.lax.gather(
-        imgp,
-        starts,
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
-        ),
-        slice_sizes=(bh, bw),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    ).reshape(nh, nw, bh, bw)
+    def fetch_select(r: int):
+        """Coarse block fetch + exact local select loop at half-width r.
+        Returns the four bilinear taps in tiled (nh, nw, th, tw) form."""
+        k = 2 * r + 2  # local offset range per axis
+        # Coarse fetch: block origin = tile origin + mean displacement - R.
+        # The image is edge-padded far enough that every block lies fully
+        # inside the padded array for any tile-mean target within the
+        # clipped position range [-E, size-1+E] (worst-case origin
+        # excursion: E + tile/2 + R).
+        pad = e_margin + max(th, tw) + k + 2
+        imgp = jnp.pad(img, pad, mode="edge")
+        oy = jnp.arange(nh, dtype=jnp.int32) * th
+        ox = jnp.arange(nw, dtype=jnp.int32) * tw
+        start_y = oy[:, None] + byt - r + pad  # into imgp, (nh, nw)
+        start_x = ox[None, :] + bxt - r + pad
+        starts = jnp.stack(
+            [start_y.reshape(-1), start_x.reshape(-1)], axis=-1
+        )
+        bh, bw = th + k, tw + k
+        blocks = jax.lax.gather(
+            imgp,
+            starts,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(0, 1),
+            ),
+            slice_sizes=(bh, bw),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        ).reshape(nh, nw, bh, bw)
 
-    # Local integer offsets inside each block, clamped to the reachable
-    # window (exact while the within-tile deviation from the mean is <= R).
-    ay = jnp.clip(dy_t - byt[:, :, None, None] + r, 0, k - 2).astype(jnp.int32)
-    bx = jnp.clip(dx_t - bxt[:, :, None, None] + r, 0, k - 2).astype(jnp.int32)
-    code = ay * k + bx
+        # Local integer offsets inside each block, clamped to the reachable
+        # window (exact while the within-tile deviation from the mean is
+        # <= R).
+        ay = jnp.clip(
+            dy_t - byt[:, :, None, None] + r, 0, k - 2
+        ).astype(jnp.int32)
+        bx = jnp.clip(
+            dx_t - bxt[:, :, None, None] + r, 0, k - 2
+        ).astype(jnp.int32)
+        code = ay * k + bx
 
-    # Lane-dim (b) slicing hoisted out of the inner loop: an unaligned
-    # lane-offset slice relayouts its whole operand, so slicing inside
-    # both loops paid 4*(k-1)^2 = 324 relayouts; hoisting leaves k = 10
-    # (consecutive b-slices are shared via bb/bb1) plus cheap sublane
-    # slices inside. Measured 3.91 -> 3.13 ms standalone at 1080p, exact
-    # (tools/hw_warp_split.py round 4); the 3-level pyramid total is
-    # unchanged (8.31 ms) — inside the pyramid jit XLA already overlaps
-    # the select loop — so the win accrues to standalone warp callers.
-    z = jnp.zeros((nh, nw, th, tw), img.dtype)
-    p00, p01, p10, p11 = z, z, z, z
-    bb = blocks[:, :, :, 0:tw]
-    for b in range(k - 1):
-        bb1 = blocks[:, :, :, b + 1 : b + 1 + tw]
-        for a in range(k - 1):
-            m = code == (a * k + b)
-            p00 = jnp.where(m, bb[:, :, a : a + th, :], p00)
-            p01 = jnp.where(m, bb1[:, :, a : a + th, :], p01)
-            p10 = jnp.where(m, bb[:, :, a + 1 : a + 1 + th, :], p10)
-            p11 = jnp.where(m, bb1[:, :, a + 1 : a + 1 + th, :], p11)
-        bb = bb1
+        # Lane-dim (b) slicing hoisted out of the inner loop: an unaligned
+        # lane-offset slice relayouts its whole operand, so slicing inside
+        # both loops paid 4*(k-1)^2 = 324 relayouts; hoisting leaves k
+        # (consecutive b-slices are shared via bb/bb1) plus cheap sublane
+        # slices inside. Measured 3.91 -> 3.13 ms standalone at 1080p,
+        # exact (tools/hw_warp_split.py round 4); the 3-level pyramid
+        # total was unchanged at R=4 — inside the pyramid jit XLA already
+        # overlaps the select loop — so the win accrues to standalone
+        # warp callers.
+        z = jnp.zeros((nh, nw, th, tw), img.dtype)
+        p00, p01, p10, p11 = z, z, z, z
+        bb = blocks[:, :, :, 0:tw]
+        for b in range(k - 1):
+            bb1 = blocks[:, :, :, b + 1 : b + 1 + tw]
+            for a in range(k - 1):
+                m = code == (a * k + b)
+                p00 = jnp.where(m, bb[:, :, a : a + th, :], p00)
+                p01 = jnp.where(m, bb1[:, :, a : a + th, :], p01)
+                p10 = jnp.where(m, bb[:, :, a + 1 : a + 1 + th, :], p10)
+                p11 = jnp.where(m, bb1[:, :, a + 1 : a + 1 + th, :], p11)
+            bb = bb1
+        return p00, p01, p10, p11
+
+    if radius == 0:
+        # On-device exactness check: both branches are exact (and bitwise
+        # equal) when the within-tile deviation is <= 2; only then is the
+        # cheap branch taken, so auto == R=4 in values, always.
+        dev = jnp.maximum(
+            jnp.abs(dy_t - byt[:, :, None, None].astype(dy_t.dtype)).max(),
+            jnp.abs(dx_t - bxt[:, :, None, None].astype(dx_t.dtype)).max(),
+        )
+        p00, p01, p10, p11 = jax.lax.cond(
+            dev <= 2.0,
+            lambda: fetch_select(2),
+            lambda: fetch_select(_WARP_R),
+        )
+    else:
+        p00, p01, p10, p11 = fetch_select(radius)
 
     def untile(a):
         return a.transpose(0, 2, 1, 3).reshape(hp, wp)[:h, :w]
@@ -253,12 +298,66 @@ def warp_bilinear_tiled(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp
     return top * (1 - wy) + bot * wy
 
 
-def warp(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, method: str = "auto"):
+def warp_bilinear_checked(
+    img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """Exactness-checked warp (round 5): the tiled fast path whenever the
+    on-device per-tile deviation proves it exact, else the reference
+    gather — a three-way lax.cond over (dev <= 2 -> R=2, dev <= 4 -> R=4,
+    else gather). This is what makes the fast warp safe for models whose
+    flows BREAK the per-tile smoothness contract (TV-L1's sharp motion
+    boundaries): those frames pay the gather price, smooth frames run at
+    tiled-warp speed (~3 ms vs ~88 ms per 1080p warp, measured in
+    tools/hw_tvl1_ab.py round 5 — the gather warps, not the inner loop,
+    were 95%+ of TV-L1's 543 ms/frame)."""
+    h, w = img.shape
+    th, tw = _WARP_TH, _WARP_TW
+    nh = -(-h // th)
+    nw = -(-w // tw)
+    hp, wp = nh * th, nw * tw
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # Deviation of the integer displacement from its rounded per-tile mean
+    # — the same fields the tiled warp computes (duplicated here cheaply;
+    # XLA CSEs them inside a shared jit when both paths coexist).
+    dy = jnp.floor(jnp.clip(yy + v.astype(jnp.float32), -64.0, h + 63.0)) - yy
+    dx = jnp.floor(jnp.clip(xx + u.astype(jnp.float32), -64.0, w + 63.0)) - xx
+
+    def tile4(a):
+        a = jnp.pad(a, ((0, hp - h), (0, wp - w)), mode="edge")
+        return a.reshape(nh, th, nw, tw).transpose(0, 2, 1, 3)
+
+    dy_t = tile4(dy)
+    dx_t = tile4(dx)
+    byt = jnp.round(dy_t.mean(axis=(2, 3)))
+    bxt = jnp.round(dx_t.mean(axis=(2, 3)))
+    dev = jnp.maximum(
+        jnp.abs(dy_t - byt[:, :, None, None]).max(),
+        jnp.abs(dx_t - bxt[:, :, None, None]).max(),
+    )
+    return jax.lax.cond(
+        dev <= float(_WARP_R),
+        lambda: warp_bilinear_tiled(img, u, v, 0),
+        lambda: warp_bilinear(img, u, v),
+    )
+
+
+def warp(
+    img: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    method: str = "auto",
+    radius: int = _WARP_R,
+):
     """Dispatch: 'tiled' (TPU-fast, exact for smooth flows), 'gather'
-    (reference scalar-gather), 'auto' = tiled for 2-D inputs."""
+    (reference scalar-gather), 'checked' (tiled when provably exact, else
+    gather — on-device cond), 'auto' = tiled for 2-D inputs. `radius` is
+    the tiled warp's select half-width (0 = on-device auto)."""
     if method == "gather" or img.ndim != 2:
         return warp_bilinear(img, u, v)
-    return warp_bilinear_tiled(img, u, v)
+    if method == "checked":
+        return warp_bilinear_checked(img, u, v)
+    return warp_bilinear_tiled(img, u, v, radius)
 
 
 # -- coarse-to-fine driver -----------------------------------------------------
@@ -283,7 +382,7 @@ def _pyramid_body(
             f2w = f2
         else:
             flow = upsample_flow(flow, f1.shape[-2:])
-            f2w = warp(f2, flow.u, flow.v, pyr.warp)
+            f2w = warp(f2, flow.u, flow.v, pyr.warp, pyr.warp_radius)
         # Each level is a fixed-budget zero-init residual solve — exactly
         # solve_level's cheap path, so every level rides the full routing
         # chain (resident whole-solve kernel included; tol handling lives

@@ -42,6 +42,7 @@ from opticalflowhs_tpu.config import PyramidConfig, TVL1Config
 from opticalflowhs_tpu.ops import stencils
 from opticalflowhs_tpu.pyramid import gaussian_pyramid, upsample_flow, warp
 from opticalflowhs_tpu.solver import Flow
+from opticalflowhs_tpu.solver import resolve_backend as _resolve_backend
 
 _G2_EPS = 1e-9  # guards the |grad I|^2 division in textureless pixels
 
@@ -117,6 +118,7 @@ def tvl1_warp_iteration(
     u1: jnp.ndarray,
     u2: jnp.ndarray,
     cfg: TVL1Config,
+    kernel_ok: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One warp-and-relinearize outer step of Zach et al. (2007) Alg. 1.
 
@@ -133,17 +135,38 @@ def tvl1_warp_iteration(
     it pairs with dual *ascent* p + sigma·grad u. The opposite u-step sign
     pairs with dual descent p - sigma·grad u; mixing the two diverges.)
     """
-    # "auto" means GATHER for TV-L1 (not tiled, as HS/LK resolve it): the
-    # tiled warp's per-tile smoothness contract (<= 4 px deviation from the
-    # tile's mean flow) is exactly what sharp TV-L1 motion boundaries break,
-    # corrupting rho at the discontinuities this model exists to preserve.
-    i2w = warp(i2, u1, u2, "gather" if cfg.warp == "auto" else cfg.warp)
+    # "auto" means CHECKED for TV-L1 (round 5; was gather): the tiled
+    # warp's per-tile smoothness contract (<= 4 px deviation from the
+    # tile's mean flow) is exactly what sharp TV-L1 motion boundaries can
+    # break — so the checked warp measures the deviation on device and
+    # takes the tiled path only when it is provably exact, falling back
+    # to the reference gather otherwise. Measured: the gather warps were
+    # ~95% of TV-L1's 543 ms/frame at 1080p (tools/hw_tvl1_ab.py).
+    i2w = warp(i2, u1, u2, "checked" if cfg.warp == "auto" else cfg.warp)
     gx, gy = _central_grad(i2w)
     rho0 = i2w - i1 - u1 * gx - u2 * gy   # rho(u) = rho0 + u·g, affine in u
     g2 = gx * gx + gy * gy
     th = cfg.lambda_ * cfg.theta * g2
     inv_g2 = 1.0 / (g2 + _G2_EPS)
     sigma = cfg.tau / cfg.theta
+
+    if kernel_ok and _resolve_backend(cfg.backend) == "pallas":
+        # VMEM-resident fused inner loop (round 5): all cfg.iters
+        # alternations in ONE Pallas launch, exact twin of the fori_loop
+        # below. Returns None outside its residency class. Only on
+        # single-frame untiled solves (the manual-DMA kernel has no
+        # batching rule and would break GSPMD sharding).
+        from opticalflowhs_tpu.kernels.tvl1_inner import tvl1_inner
+
+        out = tvl1_inner(
+            u1, u2, rho0, gx, gy, inv_g2, th, cfg.iters, cfg.theta,
+            sigma, cfg.lambda_ * cfg.theta,
+        )
+        if out is not None:
+            u1, u2 = out
+            if cfg.median:
+                u1, u2 = median3(u1), median3(u2)
+            return u1, u2
 
     def body(_, state):
         u1, u2, p1x, p1y, p2x, p2y = state
@@ -175,9 +198,10 @@ def tvl1_warp_iteration(
     return u1, u2
 
 
-def _tvl1_level(i1, i2, u1, u2, cfg: TVL1Config, warps: int):
+def _tvl1_level(i1, i2, u1, u2, cfg: TVL1Config, warps: int,
+                kernel_ok: bool = False):
     for _ in range(warps):  # unrolled: warps is small (1-5) and static
-        u1, u2 = tvl1_warp_iteration(i1, i2, u1, u2, cfg)
+        u1, u2 = tvl1_warp_iteration(i1, i2, u1, u2, cfg, kernel_ok)
     return u1, u2
 
 
@@ -187,6 +211,7 @@ def _tvl1_pyramid_body(
     cfg: TVL1Config,
     pyr: PyramidConfig,
     constrain=lambda a: a,
+    kernel_ok: bool = False,
 ) -> Flow:
     dtype = jnp.dtype(cfg.dtype)
     i1, i2 = i1.astype(dtype), i2.astype(dtype)
@@ -217,14 +242,14 @@ def _tvl1_pyramid_body(
         else:
             flow = upsample_flow(flow, f1.shape[-2:])
             u1, u2 = constrain(flow.u), constrain(flow.v)
-        u1, u2 = _tvl1_level(f1, f2, u1, u2, cfg, warps[level])
+        u1, u2 = _tvl1_level(f1, f2, u1, u2, cfg, warps[level], kernel_ok)
         flow = Flow(constrain(u1), constrain(u2))
     return flow
 
 
 @partial(jax.jit, static_argnames=("cfg", "pyr"))
 def _tvl1_impl(i1, i2, cfg: TVL1Config, pyr: PyramidConfig) -> Flow:
-    return _tvl1_pyramid_body(i1, i2, cfg, pyr)
+    return _tvl1_pyramid_body(i1, i2, cfg, pyr, kernel_ok=True)
 
 
 def tvl1_solve(
