@@ -106,12 +106,53 @@ def flow_stream(
             yield hs_solve_batched(cur[:-1], cur[1:], cfg, pyr, mesh=m)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg", "warm_scale", "warp_prior"))
+def _warm_scan(pairs1, pairs2, u0, v0, cfg: HSConfig, warm_scale: float,
+               warp_prior: bool):
+    """K dependent warm-started solves in ONE jit region (round-5 VERDICT
+    item 5): a lax.scan over the window's pairs with the flow as the
+    carry, so the whole chain costs one dispatch instead of K. (The seed
+    u0/v0 is NOT donated: it is the previous window's yielded flow, which
+    the stream consumer may still hold.) The per-call
+    path serialized ~10 ms of tunnel latency per pair on this machine
+    (11.7 ms/pair device-resident vs ~1 ms device time,
+    tools/hw_warm_rate.py); on a real TPU host the same structure still
+    saves K-1 launches per chunk. The scan body is exactly the per-pair
+    arithmetic: solve_level routes the warm start through the resident
+    kernel's u0/v0 path, traced once."""
+    from jax import lax
+
+    from opticalflowhs_tpu.solver import solve_level
+
+    def body(carry, xs):
+        u, v = carry
+        f1, f2 = xs
+        bu, bv = u * warm_scale, v * warm_scale
+        if warp_prior:
+            from opticalflowhs_tpu.pyramid import warp
+
+            f2w = warp(f2, bu, bv)
+            d = solve_level(f1, f2w, cfg, cfg.iters)
+            nu, nv = bu + d.u, bv + d.v
+        else:
+            fl = solve_level(f1, f2, cfg, cfg.iters, u0=bu, v0=bv)
+            nu, nv = fl.u, fl.v
+        return (nu, nv), (nu, nv)
+
+    _, (us, vs) = lax.scan(body, (u0, v0), (pairs1, pairs2))
+    return us, vs
+
+
 def flow_stream_warm(
     frames: Union[np.ndarray, Iterable[np.ndarray]],
     cfg: HSConfig = HSConfig(),
     warm_scale: float = 1.0,
     chunk: int = 8,
     warp_prior: bool = False,
+    fused: bool = True,
 ) -> Iterator[Flow]:
     """Sequential streaming flow with TEMPORAL warm start (round 4).
 
@@ -136,22 +177,36 @@ def flow_stream_warm(
     (tests/integration/test_video_egomotion.py). The FIRST pair (no prior
     yet) bootstraps with a 3-level pyramid solve; after that every pair
     is one cheap full-resolution residual solve. Composes with cfg.tol.
+
+    `fused=True` (default, round 5): after the bootstrap, each prefetch
+    window's dependent solves run as ONE lax.scan jit region (`_warm_scan`)
+    — one dispatch per chunk instead of per pair. Same arithmetic, same
+    warm chain; `fused=False` keeps the per-pair dispatch for A/B.
     """
     from opticalflowhs_tpu.solver import hs_solve
 
     prev: Optional[Flow] = None
     for cur in _prefetched_windows(frames, chunk):
-        for k in range(cur.shape[0] - 1):
-            if prev is None:
-                if warp_prior:
-                    from opticalflowhs_tpu.config import PyramidConfig
-                    from opticalflowhs_tpu.pyramid import hs_pyramid
+        k0 = 0
+        if prev is None:
+            if warp_prior:
+                from opticalflowhs_tpu.config import PyramidConfig
+                from opticalflowhs_tpu.pyramid import hs_pyramid
 
-                    prev = hs_pyramid(cur[k], cur[k + 1], cfg,
-                                      PyramidConfig(levels=3))
-                else:
-                    prev = hs_solve(cur[k], cur[k + 1], cfg)
-            elif warp_prior:
+                prev = hs_pyramid(cur[0], cur[1], cfg, PyramidConfig(levels=3))
+            else:
+                prev = hs_solve(cur[0], cur[1], cfg)
+            yield prev
+            k0 = 1
+        if fused and cur.shape[0] - 1 > k0:
+            us, vs = _warm_scan(cur[k0:-1], cur[k0 + 1:], prev.u, prev.v,
+                                cfg, float(warm_scale), warp_prior)
+            for k in range(us.shape[0]):
+                prev = Flow(us[k], vs[k])
+                yield prev
+            continue
+        for k in range(k0, cur.shape[0] - 1):
+            if warp_prior:
                 from opticalflowhs_tpu.pyramid import warp
 
                 base = Flow(prev.u * warm_scale, prev.v * warm_scale)
