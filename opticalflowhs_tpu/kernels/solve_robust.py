@@ -1,0 +1,415 @@
+"""VMEM-resident whole-solve kernel for the robust (Charbonnier IRLS)
+family (round-5 VERDICT item 6).
+
+robust.py's claim that "a Pallas version would re-pay per-launch dispatch
+per weight block" (solver.py round-4 note) was asserted, never measured.
+This kernel is the measurement: ONE launch runs in-kernel derivatives,
+every IRLS weight refreeze, AND every frozen-weight sweep, with the three
+fields (ex, ey, et), the two weight fields (wd, ws), and both u/v
+ping-pong pairs resident in VMEM — 9 full arrays. The jnp path streams
+~14 arrays per sweep through HBM (~146 us/sweep at 1080p, memory-bound);
+residency leaves the ~50-op sweep compute.
+
+Schedule:
+  * The IRLS structure is robust.py::robust_sweeps exactly: weights
+    refrozen from the current flow every `k = robust_update_every` sweeps
+    (first freeze at the initial flow), frozen-weight Jacobi sweeps
+    between refreezes, same op-for-op association order (oracle
+    invariant, CLAUDE.md).
+  * Sweeps ping-pong between output-ref buffer pairs (scratch-ref loop
+    state compiles pathologically slowly — kernels/jacobi.py). A refreeze
+    group of k sweeps flips parity k times, so the group loop body is
+    parity-static only when its sweep count is EVEN: groups run under a
+    single lax.fori_loop when k is even, and odd k runs 2k-sweep
+    superblocks (two freezes per body). The remainder sweeps unroll
+    statically with one leading freeze.
+  * Inter-band decay halo: the frozen-weight sweep is a 4-neighbor
+    Jacobi-type step — 1 ring/sweep, sigma = one sublane tile. The weight
+    fields are exact at every row (each refreeze rebuilds them band-wise
+    from the fully-exact current flow with a 1-row halo read), so only
+    u/v halos decay.
+  * Boundary handling mirrors ops/stencils.py's replicate shifts at the
+    TRUE image edge (clamped concat at array edges, roll + where masks at
+    padded edges) — the same scheme the Jacobi/SOR resident kernels use.
+
+Gradients ride the whole-solve custom_vjp scheme: kernel forward,
+jnp-twin backward (derivatives twin + robust.robust_sweeps — the twin IS
+the oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opticalflowhs_tpu.kernels.jacobi import (
+    _LANE,
+    _cshift,
+    _round_up,
+    _shift,
+    _sublane,
+    pad_to_tiles,
+)
+
+# 3 fields + 2 weights + 4 ping-pong = 9 resident arrays; the frozen-weight
+# sweep holds ~22 live window values (edge weights, neighbor sums, the 2x2
+# solve) — same register-spill class as the SOR stage loop, budgeted at
+# ~26 window temporaries (measured basis: solve_resident.pick_geometry's
+# SOR note).
+_RESIDENT_ARRAYS = 9
+_TEMP_ARRAYS = 26
+_LIMIT = int(os.environ.get("HSFLOW_ROBUST_VMEM", str(118 * 1024 * 1024)))
+_FORCE_NB = int(os.environ.get("HSFLOW_ROBUST_NB", "0"))  # 0 = auto
+
+
+def pick_geometry(h: int, w: int, dtype):
+    sub = _sublane(dtype)
+    nbytes = jnp.dtype(dtype).itemsize
+    wp = _round_up(w, _LANE)
+    h_units = -(-h // sub)
+    for nb in range(1, h_units + 1):
+        if _FORCE_NB and nb != _FORCE_NB:
+            continue
+        units = -(-h_units // nb)
+        band = units * sub
+        hp = band * nb
+        sigma = 0 if nb == 1 else sub
+        if nb > 1 and sigma > band:
+            continue
+        resident = _RESIDENT_ARRAYS * hp * wp * nbytes
+        temps = _TEMP_ARRAYS * (band + 2 * sigma) * wp * nbytes
+        deriv_win = 2 * (band + sub) * wp * nbytes
+        if _FORCE_NB or resident + temps + deriv_win <= _LIMIT:
+            return nb, band, hp, wp, sigma
+    return None
+
+
+def _robust_kernel(i1_hbm, i2_hbm, u0_hbm, v0_hbm,
+                   ua, va, ub, vb,
+                   ex_s, ey_s, et_s, wd_s, ws_s,
+                   w1_ref, w2_ref, sem, *,
+                   nb: int, band: int, hp: int, wp: int, h: int, w: int,
+                   sub: int, sigma: int, n_sweeps: int, k_refreeze: int,
+                   alpha: float, eps_d: float, eps_s: float,
+                   zero_init: bool):
+    dt = ex_s.dtype
+    gc = jax.lax.broadcasted_iota(jnp.int32, (band, wp), 1)
+    m_rt_band = None if w == wp else gc == w - 1
+    last_r0 = (nb - 1) * band
+    if h == hp:
+        m_bot_last = None
+    else:
+        gr = last_r0 + jax.lax.broadcasted_iota(jnp.int32, (band, wp), 0)
+        m_bot_last = gr == h - 1
+
+    def lc_band(a):  # a(j+1) clamped at the true right edge, band rows
+        if m_rt_band is None:
+            return _cshift(a, wp - 1, 1)
+        return jnp.where(m_rt_band, a, _cshift(a, wp - 1, 1))
+
+    # ---- stage 1: in-kernel derivatives (hs_cube), band by band ----------
+    def deriv_band(b):
+        r0 = b * band
+        last = b == nb - 1
+        rows = band if last else band + 1
+        rows_dma = min(_round_up(rows, sub), hp - r0)
+        for src, dst in ((i1_hbm, w1_ref), (i2_hbm, w2_ref)):
+            cp = pltpu.make_async_copy(
+                src.at[pl.ds(r0, rows_dma)], dst.at[pl.ds(0, rows_dma)], sem
+            )
+            cp.start()
+            cp.wait()
+
+        def up(a, awin):
+            if awin is not None:
+                return awin[1 : band + 1]
+            sh = jnp.concatenate([a[1:band], a[band - 1 : band]], axis=0)
+            if m_bot_last is not None:
+                return jnp.where(m_bot_last, a, sh)
+            return sh
+
+        f1 = w1_ref[0:band]
+        f2 = w2_ref[0:band]
+        f1w = None if last else w1_ref[0 : band + 1]
+        f2w = None if last else w2_ref[0 : band + 1]
+        ex = jnp.zeros_like(f1)
+        ey = jnp.zeros_like(f1)
+        for f, fw in ((f1, f1w), (f2, f2w)):
+            fr = up(f, fw)
+            fc = lc_band(f)
+            frc = lc_band(fr)
+            ex = ex + (fc - f) + (frc - fr)
+            ey = ey + (fr - f) + (frc - fc)
+        sl = pl.ds(r0, band)
+        ex_s[sl] = ex * 0.25
+        ey_s[sl] = ey * 0.25
+        d = f2 - f1
+        dr = up(d, None if last else f2w - f1w)
+        et_s[sl] = 0.25 * (d + dr + lc_band(d) + lc_band(dr))
+
+    for b in range(nb):
+        deriv_band(b)
+
+    # initial flow: zeros or the warm start, into buffer B (sweep 0's src)
+    if zero_init:
+        z = jnp.zeros((hp, wp), dt)
+        ub[...] = z
+        vb[...] = z
+    else:
+        for src, dst in ((u0_hbm, ub), (v0_hbm, vb)):
+            cp = pltpu.make_async_copy(src, dst, sem)
+            cp.start()
+            cp.wait()
+
+    # ---- window helpers (shared by freeze and sweep) ---------------------
+    def win_ctx(b):
+        r0 = b * band
+        lo = sigma if b > 0 else 0
+        hi = sigma if b < nb - 1 else 0
+        w0 = r0 - lo
+        win = band + lo + hi
+        slw = pl.ds(w0, win)
+        top_edge = b == 0
+        bot_edge = b == nb - 1
+        if bot_edge and h != hp:
+            grw = w0 + jax.lax.broadcasted_iota(jnp.int32, (win, wp), 0)
+            m_bot = grw == h - 1
+        else:
+            m_bot = None
+        if m_rt_band is None:
+            m_rt = None
+        else:
+            gcw = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
+            m_rt = gcw == w - 1
+        return r0, lo, win, slw, top_edge, bot_edge, m_bot, m_rt
+
+    def shifts(win, top_edge, bot_edge, m_bot, m_rt):
+        """stencils.py shift twins on a window: replicate at true edges,
+        roll into the decaying halo elsewhere."""
+
+        def sdr(a):  # shift_down_row: a(i-1), clamp true top
+            return _cshift(a, 1, 0) if top_edge else _shift(a, 1, 0)
+
+        def sur(a):  # shift_up_row: a(i+1), clamp true bottom
+            x = (_cshift(a, win - 1, 0) if bot_edge
+                 else _shift(a, win - 1, 0))
+            return jnp.where(m_bot, a, x) if m_bot is not None else x
+
+        def src(a):  # shift_right_col: a(j-1), clamp col 0 (array edge)
+            return _cshift(a, 1, 1)
+
+        def slc(a):  # shift_left_col: a(j+1), clamp true right edge
+            if m_rt is None:
+                return _cshift(a, a.shape[1] - 1, 1)
+            return jnp.where(m_rt, a, _shift(a, a.shape[1] - 1, 1))
+
+        return sdr, sur, src, slc
+
+    # ---- IRLS stages -----------------------------------------------------
+    def freeze(src_u, src_v):
+        """robust.charbonnier_weights, band-wise from the current flow."""
+        for b in range(nb):
+            r0, lo, win, slw, top_edge, bot_edge, m_bot, m_rt = win_ctx(b)
+            sdr, sur, src_, slc = shifts(win, top_edge, bot_edge, m_bot,
+                                         m_rt)
+            u = src_u[slw]
+            v = src_v[slw]
+            ex = ex_s[slw]
+            ey = ey_s[slw]
+            et = et_s[slw]
+            r = ex * u + ey * v + et
+            wd = eps_d * jax.lax.rsqrt(r * r + eps_d * eps_d)
+            gxu = slc(u) - u
+            gyu = sur(u) - u
+            gxv = slc(v) - v
+            gyv = sur(v) - v
+            g2 = gxu * gxu + gyu * gyu + gxv * gxv + gyv * gyv
+            ws = eps_s * jax.lax.rsqrt(g2 + eps_s * eps_s)
+            slb = pl.ds(r0, band)
+            wd_s[slb] = wd[lo : lo + band]
+            ws_s[slb] = ws[lo : lo + band]
+
+    a2 = alpha * alpha
+
+    def sweep(src_u, src_v, dst_u, dst_v):
+        """robust.robust_step, band-wise; weights exact, u/v halos decay."""
+        for b in range(nb):
+            r0, lo, win, slw, top_edge, bot_edge, m_bot, m_rt = win_ctx(b)
+            sdr, sur, src_, slc = shifts(win, top_edge, bot_edge, m_bot,
+                                         m_rt)
+            u = src_u[slw]
+            v = src_v[slw]
+            ex = ex_s[slw]
+            ey = ey_s[slw]
+            et = et_s[slw]
+            wd = wd_s[slw]
+            ws = ws_s[slw]
+            w_up = 0.5 * (ws + sdr(ws))
+            w_dn = 0.5 * (ws + sur(ws))
+            w_lf = 0.5 * (ws + src_(ws))
+            w_rt = 0.5 * (ws + slc(ws))
+            w_sum = w_up + w_dn + w_lf + w_rt
+
+            def nsum(a):
+                return (
+                    w_up * sdr(a)
+                    + w_dn * sur(a)
+                    + w_lf * src_(a)
+                    + w_rt * slc(a)
+                )
+
+            a11 = wd * ex * ex + a2 * w_sum
+            a22 = wd * ey * ey + a2 * w_sum
+            a12 = wd * ex * ey
+            b1 = a2 * nsum(u) - wd * ex * et
+            b2 = a2 * nsum(v) - wd * ey * et
+            inv_det = 1.0 / (a11 * a22 - a12 * a12)
+            un = (a22 * b1 - a12 * b2) * inv_det
+            vn = (a11 * b2 - a12 * b1) * inv_det
+            slb = pl.ds(r0, band)
+            dst_u[slb] = un[lo : lo + band]
+            dst_v[slb] = vn[lo : lo + band]
+
+    # ---- schedule: parity-even refreeze groups under one fori ------------
+    A = (ua, va)
+    B = (ub, vb)
+    k = max(1, min(k_refreeze, n_sweeps))
+    # group = freeze + g sweeps, g even => the body starts and ends in B
+    g = k if k % 2 == 0 else 2 * k
+    n_groups, rem = divmod(n_sweeps, g)
+
+    def group_body(_, c):
+        freeze(B[0], B[1])
+        for j in range(k if g == k else 2 * k):
+            if g != k and j == k:
+                freeze(B[0] if k % 2 == 0 else A[0],
+                       B[1] if k % 2 == 0 else A[1])
+            s_b, d_b = (B, A) if j % 2 == 0 else (A, B)
+            sweep(s_b[0], s_b[1], d_b[0], d_b[1])
+        return c
+
+    if n_groups:
+        jax.lax.fori_loop(0, n_groups, group_body, 0)
+    # remainder: freeze then rem sweeps (B-parity start), possibly crossing
+    # further refreeze points when rem > k (only when g == 2k)
+    j0_parity = 0  # remainder always starts with source = B
+    for j in range(rem):
+        if j % k == 0:
+            cur = B if (j + j0_parity) % 2 == 0 else A
+            freeze(cur[0], cur[1])
+        s_b, d_b = (B, A) if j % 2 == 0 else (A, B)
+        sweep(s_b[0], s_b[1], d_b[0], d_b[1])
+
+
+def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, k, eps_d, eps_s, geom,
+                interpret):
+    h, w = i1.shape
+    nb, band, hp, wp, sigma = geom
+    sub = _sublane(i1.dtype)
+    f1 = pad_to_tiles(i1, hp, wp)
+    f2 = pad_to_tiles(i2, hp, wp)
+    zero_init = u0 is None
+    if zero_init:
+        u0p = jnp.zeros((8, wp), i1.dtype)  # never read
+        v0p = u0p
+    else:
+        u0p = pad_to_tiles(u0.astype(i1.dtype), hp, wp)
+        v0p = pad_to_tiles(v0.astype(i1.dtype), hp, wp)
+    out = jax.ShapeDtypeStruct((hp, wp), i1.dtype)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ua, va, ub, vb = pl.pallas_call(
+        functools.partial(
+            _robust_kernel, nb=nb, band=band, hp=hp, wp=wp, h=h, w=w,
+            sub=sub, sigma=sigma, n_sweeps=n_sweeps, k_refreeze=k,
+            alpha=float(alpha), eps_d=float(eps_d), eps_s=float(eps_s),
+            zero_init=zero_init,
+        ),
+        out_shape=(out,) * 4,
+        in_specs=[any_spec] * 4,
+        out_specs=(vmem,) * 4,
+        scratch_shapes=[pltpu.VMEM((hp, wp), i1.dtype)] * 5
+        + [pltpu.VMEM((band + sub, wp), i1.dtype)] * 2
+        + [pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_LIMIT + 8 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(f1, f2, u0p, v0p)
+    # sweep j writes A when j is even; the last sweep is n_sweeps-1
+    u, v = (ua, va) if n_sweeps % 2 == 1 else (ub, vb)
+    return u[:h, :w], v[:h, :w]
+
+
+def _jnp_twin(i1, i2, u0, v0, cfg):
+    from opticalflowhs_tpu.kernels.derivatives import _jnp_deriv_twin
+    from opticalflowhs_tpu.robust import robust_sweeps
+
+    ex, ey, et, _ = _jnp_deriv_twin(i1, i2, cfg.alpha, cfg.deriv_variant)
+    if u0 is None:
+        u0 = jnp.zeros_like(ex)
+        v0 = jnp.zeros_like(ex)
+    return robust_sweeps(u0, v0, ex, ey, et, cfg.iters, cfg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _solve_ad(i1, i2, u0, v0, cfg, geom, interpret):
+    return _solve_impl(i1, i2, u0, v0, cfg.alpha, cfg.iters,
+                       cfg.robust_update_every, cfg.robust_eps_d,
+                       cfg.robust_eps_s, geom, interpret)
+
+
+def _solve_fwd(i1, i2, u0, v0, cfg, geom, interpret):
+    out = _solve_impl(i1, i2, u0, v0, cfg.alpha, cfg.iters,
+                      cfg.robust_update_every, cfg.robust_eps_d,
+                      cfg.robust_eps_s, geom, interpret)
+    return out, (i1, i2, u0, v0)
+
+
+def _solve_bwd(cfg, geom, interpret, res, ct):
+    i1, i2, u0, v0 = res
+    if u0 is None:
+        _, vjp = jax.vjp(lambda a, b: _jnp_twin(a, b, None, None, cfg),
+                         i1, i2)
+        return vjp(ct) + (None, None)
+    _, vjp = jax.vjp(lambda a, b, uu, vv: _jnp_twin(a, b, uu, vv, cfg),
+                     i1, i2, u0, v0)
+    return vjp(ct)
+
+
+_solve_ad.defvjp(_solve_fwd, _solve_bwd)
+
+
+def applicable(i1, cfg):
+    """Geometry tuple when the resident robust schedule covers this solve,
+    else None (caller falls back to the jnp IRLS path)."""
+    if (i1.ndim != 2 or cfg.iters < 1 or cfg.deriv_variant != "hs_cube"):
+        return None
+    return pick_geometry(*i1.shape, i1.dtype)
+
+
+def hs_solve_robust_resident(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    cfg,
+    u0: jnp.ndarray | None = None,
+    v0: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+):
+    """Whole Charbonnier-IRLS solve (derivatives + refreezes + sweeps) in
+    ONE Pallas launch with VMEM-resident state. Returns (u, v) or None
+    when outside the residency class. Exact twin of robust.robust_sweeps;
+    differentiable via the whole-solve custom_vjp against it."""
+    if (u0 is None) != (v0 is None):
+        raise ValueError("u0 and v0 must be given together")
+    geom = applicable(i1, cfg)
+    if geom is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _solve_ad(i1, i2, u0, v0, cfg, geom, interpret)
