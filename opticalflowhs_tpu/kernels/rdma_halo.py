@@ -138,11 +138,21 @@ def _fused_kernel(row0_ref, u0_ref, v0_ref, ex_ref, ey_ref, et_ref, invd_ref,
                   su_up, su_dn, ru_top, ru_bot,
                   sv_up, sv_dn, rv_top, rv_bot,
                   *, n_blocks: int, s: int, rem: int, sigma: int, th: int,
-                  hglob: int, wglob: int, axis_name: str):
-    n = jax.lax.axis_size(axis_name)
-    me = jax.lax.axis_index(axis_name)
-    up = jax.lax.rem(me - 1 + n, n)
-    dn = jax.lax.rem(me + 1, n)
+                  hglob: int, wglob: int, axis_name: str,
+                  emulate_ring1: bool = False):
+    if emulate_ring1:
+        # CPU logic twin (round 5): on the degenerate 1-chip ring the
+        # remote copies are LOCAL slot writes (up == dn == self), so every
+        # other line of this kernel — slot parity double-buffering, halo
+        # writes, strip decomposition, masks, decay loop — runs under
+        # interpret mode in CI (test_rdma_halo.py). Only the physical
+        # cross-chip transfer itself remains hardware-only.
+        up = dn = 0
+    else:
+        n = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        up = jax.lax.rem(me - 1 + n, n)
+        dn = jax.lax.rem(me + 1, n)
     hp2, wp = uw.shape  # th + 2*sigma
 
     ex, ey = ex_ref[...], ey_ref[...]
@@ -174,24 +184,31 @@ def _fused_kernel(row0_ref, u0_ref, v0_ref, ex_ref, ey_ref, et_ref, invd_ref,
         # block-k+2 send is transitively ordered after my block-k consume
         # through the recv->compute->send chain).
         dmas = []
-        for buf, comm, s_up, s_dn, r_top, r_bot in (
-            (uw, ucomm, su_up, su_dn, ru_top, ru_bot),
-            (vw, vcomm, sv_up, sv_dn, rv_top, rv_bot),
-        ):
-            dmas.append(pltpu.make_async_remote_copy(
-                src_ref=buf.at[pl.ds(sigma, sigma)],      # my top owned rows
-                dst_ref=comm.at[parity, 1],               # -> up's bottom halo
-                send_sem=s_up, recv_sem=r_bot,
-                device_id={axis_name: up},  # MESH dict: other axes = own
-                device_id_type=pltpu.DeviceIdType.MESH,
-            ))
-            dmas.append(pltpu.make_async_remote_copy(
-                src_ref=buf.at[pl.ds(th, sigma)],         # my bottom owned rows
-                dst_ref=comm.at[parity, 0],               # -> down's top halo
-                send_sem=s_dn, recv_sem=r_top,
-                device_id={axis_name: dn},
-                device_id_type=pltpu.DeviceIdType.MESH,
-            ))
+        if emulate_ring1:
+            # 1-ring logic twin: the same slot writes the remote copies
+            # below perform, minus the wire (self is both neighbors).
+            for buf, comm in ((uw, ucomm), (vw, vcomm)):
+                comm[parity, 1] = buf[pl.ds(sigma, sigma)]
+                comm[parity, 0] = buf[pl.ds(th, sigma)]
+        else:
+            for buf, comm, s_up, s_dn, r_top, r_bot in (
+                (uw, ucomm, su_up, su_dn, ru_top, ru_bot),
+                (vw, vcomm, sv_up, sv_dn, rv_top, rv_bot),
+            ):
+                dmas.append(pltpu.make_async_remote_copy(
+                    src_ref=buf.at[pl.ds(sigma, sigma)],  # my top owned rows
+                    dst_ref=comm.at[parity, 1],           # -> up's bottom halo
+                    send_sem=s_up, recv_sem=r_bot,
+                    device_id={axis_name: up},  # MESH dict: other axes = own
+                    device_id_type=pltpu.DeviceIdType.MESH,
+                ))
+                dmas.append(pltpu.make_async_remote_copy(
+                    src_ref=buf.at[pl.ds(th, sigma)],     # my bottom owned rows
+                    dst_ref=comm.at[parity, 0],           # -> down's top halo
+                    send_sem=s_dn, recv_sem=r_top,
+                    device_id={axis_name: dn},
+                    device_id_type=pltpu.DeviceIdType.MESH,
+                ))
         for d in dmas:
             d.start()
         # Sweep 1, interior: rows [sigma+1, sigma+th-1) read only owned
@@ -304,6 +321,69 @@ def ring_fused_sweeps(
             # the default ~19.5 MB scoped-vmem limit (kernels/jacobi.py).
             vmem_limit_bytes=100 * 1024 * 1024 + 8 * 1024 * 1024,
         ),
+    )(jnp.asarray(row0, jnp.int32).reshape(1), u, v, *fields)
+    return uo[:, :tw], vo[:, :tw]
+
+
+def ring_fused_sweeps_logic_twin(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    exh: jnp.ndarray,
+    eyh: jnp.ndarray,
+    eth: jnp.ndarray,
+    invdh: jnp.ndarray,
+    n_sweeps: int,
+    block_sweeps: int,
+    row0,
+    hglob: int,
+    wglob: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """CPU-runnable logic twin of ring_fused_sweeps (round-5 VERDICT
+    item 8): the SAME `_fused_kernel` body under interpret mode on the
+    degenerate 1-chip ring, with the remote copies emulated as local slot
+    writes (self is both ring neighbors — exactly the topology the
+    hardware tests run). This puts the slot-parity double buffering, halo
+    placement, strip decomposition, true-edge masks, and decay loop under
+    CI on every platform; the physical cross-chip DMA ordering remains
+    covered by the hardware-marked tests (test_rdma_halo.py tpu subset).
+    Takes no axis_name: there is no mesh — owned rows must be the whole
+    global image (the 1-ring), as in the degenerate hardware legs."""
+    th, tw = u.shape
+    if th % 8:
+        raise ValueError(f"tile height {th} must be a multiple of 8")
+    s = max(1, min(block_sweeps, n_sweeps))
+    sigma = _round_up(s, 8)
+    if exh.shape[0] != th + 2 * sigma:
+        raise ValueError(
+            f"fields must carry a {sigma}-row halo: got {exh.shape[0]} rows "
+            f"for a {th}-row tile"
+        )
+    if n_sweeps == 0:
+        return u, v
+    wp = _round_up(tw, 128)
+    u, v = pad_to_tiles(u, th, wp), pad_to_tiles(v, th, wp)
+    fields = [pad_to_tiles(a, th + 2 * sigma, wp)
+              for a in (exh, eyh, eth, invdh)]
+    n_blocks, rem = divmod(n_sweeps, s)
+    out = jax.ShapeDtypeStruct((th, wp), u.dtype)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    uo, vo = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, n_blocks=n_blocks, s=s, rem=rem, sigma=sigma,
+            th=th, hglob=hglob, wglob=wglob, axis_name="y",
+            emulate_ring1=True,
+        ),
+        out_shape=(out, out),
+        in_specs=[sspec] + [vspec] * 6,
+        out_specs=(vspec, vspec),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * sigma, wp), u.dtype),
+            pltpu.VMEM((th + 2 * sigma, wp), u.dtype),
+            pltpu.VMEM((2, 2, sigma, wp), u.dtype),  # [parity][top/bot]
+            pltpu.VMEM((2, 2, sigma, wp), u.dtype),
+        ] + [pltpu.SemaphoreType.DMA(())] * 8,
+        interpret=True,
     )(jnp.asarray(row0, jnp.int32).reshape(1), u, v, *fields)
     return uo[:, :tw], vo[:, :tw]
 
