@@ -96,14 +96,29 @@ def _safe_norm(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def median3(a: jnp.ndarray) -> jnp.ndarray:
-    """3x3 median with replicate borders: stack the 9 clamp-shifted copies
-    and sort across the stack — no gathers, no data-dependent control."""
+    """3x3 median with replicate borders: the 9 clamp-shifted copies run
+    through the classic 19-exchange median-of-9 selection network (Paeth's
+    sorting-network construction) — pure pairwise min/max, no gathers, no
+    data-dependent control, and ~4x cheaper than sorting the full 9-stack
+    (the round-5 TV-L1 profile showed the between-warp medians as a
+    leading residual cost). Selection networks compute the exact order
+    statistic, so the result is identical to the sort formulation
+    (asserted in tests/unit/test_tvl1.py)."""
     up, dn = stencils.shift_up_row(a), stencils.shift_down_row(a)
     rows = (dn, a, up)
-    taps = []
+    p = []
     for r in rows:
-        taps.extend((stencils.shift_right_col(r), r, stencils.shift_left_col(r)))
-    return jnp.sort(jnp.stack(taps, axis=0), axis=0)[4]
+        p.extend((stencils.shift_right_col(r), r, stencils.shift_left_col(r)))
+
+    def ex(i, j):
+        p[i], p[j] = jnp.minimum(p[i], p[j]), jnp.maximum(p[i], p[j])
+
+    for i, j in ((1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7),
+                 (1, 2), (4, 5), (7, 8), (0, 3), (5, 8), (4, 7),
+                 (3, 6), (1, 4), (2, 5), (4, 7), (4, 2), (6, 4),
+                 (4, 2)):
+        ex(i, j)
+    return p[4]
 
 
 def _central_grad(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -353,3 +353,30 @@ def test_cli_config_file_method_routes_to_tvl1(tmp_path):
     np.testing.assert_allclose(
         got, np.stack([np.asarray(ref.u), np.asarray(ref.v)], -1), atol=1e-6
     )
+
+
+def test_median3_network_equals_sort():
+    """median3's 19-exchange selection network must equal the 9-stack sort
+    formulation EXACTLY (order statistics are method-independent),
+    including ties — the network is ~4x cheaper (round 5)."""
+    import numpy as np
+
+    from opticalflowhs_tpu import tvl1
+    from opticalflowhs_tpu.ops import stencils
+
+    def median3_sort(a):
+        up, dn = stencils.shift_up_row(a), stencils.shift_down_row(a)
+        taps = []
+        for r in (dn, a, up):
+            taps.extend(
+                (stencils.shift_right_col(r), r, stencils.shift_left_col(r))
+            )
+        return jnp.sort(jnp.stack(taps, axis=0), axis=0)[4]
+
+    rng = np.random.default_rng(0)
+    for arr in (
+        rng.normal(0, 1, (67, 93)).astype(np.float32),
+        rng.integers(0, 3, (64, 64)).astype(np.float32),  # heavy ties
+    ):
+        a = jnp.asarray(arr)
+        assert float(jnp.abs(tvl1.median3(a) - median3_sort(a)).max()) == 0.0
