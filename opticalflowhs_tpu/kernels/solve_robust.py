@@ -276,34 +276,57 @@ def _robust_kernel(i1_hbm, i2_hbm, u0_hbm, v0_hbm,
             dst_v[slb] = vn[lo : lo + band]
 
     # ---- schedule: parity-even refreeze groups under one fori ------------
+    # The group body must stay COMPACT: a first formulation unrolled all k
+    # sweeps inside it (k x nb x ~50 ops) and Mosaic's compile went
+    # pathological (>55 min at 1080p k=20 — the round-1 deep-unroll
+    # failure mode). Sweeps therefore run as a nested fori over sweep
+    # PAIRS (state in refs, statically-known parity), with at most one
+    # unrolled single sweep per refreeze segment.
     A = (ua, va)
     B = (ub, vb)
     k = max(1, min(k_refreeze, n_sweeps))
-    # group = freeze + g sweeps, g even => the body starts and ends in B
+    # group = freeze(s) + g sweeps, g even => the body starts and ends in B
     g = k if k % 2 == 0 else 2 * k
     n_groups, rem = divmod(n_sweeps, g)
 
+    def run_sweeps(start_in_b: bool, m: int) -> bool:
+        """m sweeps from a statically-known buffer parity; returns the
+        (static) end parity. fori over pairs + <= 1 unrolled single."""
+        first, second = (B, A) if start_in_b else (A, B)
+
+        def pair(_, c):
+            sweep(first[0], first[1], second[0], second[1])
+            sweep(second[0], second[1], first[0], first[1])
+            return c
+
+        if m // 2:
+            jax.lax.fori_loop(0, m // 2, pair, 0)
+        if m % 2:
+            sweep(first[0], first[1], second[0], second[1])
+            return not start_in_b
+        return start_in_b
+
     def group_body(_, c):
         freeze(B[0], B[1])
-        for j in range(k if g == k else 2 * k):
-            if g != k and j == k:
-                freeze(B[0] if k % 2 == 0 else A[0],
-                       B[1] if k % 2 == 0 else A[1])
-            s_b, d_b = (B, A) if j % 2 == 0 else (A, B)
-            sweep(s_b[0], s_b[1], d_b[0], d_b[1])
+        p = run_sweeps(True, k)
+        if g != k:  # odd k: 2k-sweep superblock with a mid freeze
+            cur = B if p else A
+            freeze(cur[0], cur[1])
+            run_sweeps(p, k)  # ends back in B (2k sweeps total)
         return c
 
     if n_groups:
         jax.lax.fori_loop(0, n_groups, group_body, 0)
-    # remainder: freeze then rem sweeps (B-parity start), possibly crossing
-    # further refreeze points when rem > k (only when g == 2k)
-    j0_parity = 0  # remainder always starts with source = B
-    for j in range(rem):
-        if j % k == 0:
-            cur = B if (j + j0_parity) % 2 == 0 else A
+    # remainder (< g sweeps, starts in B): one freeze, then a second when
+    # it crosses the next refreeze point (only possible when g == 2k)
+    if rem:
+        freeze(B[0], B[1])
+        m1 = min(rem, k)
+        p = run_sweeps(True, m1)
+        if rem > k:
+            cur = B if p else A
             freeze(cur[0], cur[1])
-        s_b, d_b = (B, A) if j % 2 == 0 else (A, B)
-        sweep(s_b[0], s_b[1], d_b[0], d_b[1])
+            run_sweeps(p, rem - k)
 
 
 def _solve_impl(i1, i2, u0, v0, alpha, n_sweeps, k, eps_d, eps_s, geom,
