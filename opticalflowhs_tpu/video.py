@@ -131,6 +131,13 @@ def _warm_scan(pairs1, pairs2, u0, v0, cfg: HSConfig, warm_scale: float,
         u, v = carry
         f1, f2 = xs
         bu, bv = u * warm_scale, v * warm_scale
+        # Inside the scan body XLA fuses the frame dynamic-slices and the
+        # carry arithmetic INTO the resident kernel's custom-call as a
+        # kCustom fusion, which LOSES the kernel's vmem_limit override and
+        # OOMs against the ~16 MB default scoped-vmem limit (measured,
+        # tools/hw_warm_rate.py round 5 — the round-2 jacobi_sweeps_batched
+        # failure mode). The barrier keeps the pallas call un-fused.
+        f1, f2, bu, bv = jax.lax.optimization_barrier((f1, f2, bu, bv))
         if warp_prior:
             from opticalflowhs_tpu.pyramid import warp
 
@@ -140,6 +147,7 @@ def _warm_scan(pairs1, pairs2, u0, v0, cfg: HSConfig, warm_scale: float,
         else:
             fl = solve_level(f1, f2, cfg, cfg.iters, u0=bu, v0=bv)
             nu, nv = fl.u, fl.v
+        nu, nv = jax.lax.optimization_barrier((nu, nv))
         return (nu, nv), (nu, nv)
 
     _, (us, vs) = lax.scan(body, (u0, v0), (pairs1, pairs2))

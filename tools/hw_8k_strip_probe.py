@@ -11,7 +11,9 @@ does not beat the banded 8K rate by >= 10%, the strip schedule cannot win
 even before paying its per-sweep column halos -> measured dead end.
 Writes /tmp/hw_8k_strip.json.
 """
-import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import os
+os.environ["HSFLOW_SKEWED_MIN_PX"] = "1000000"  # probe: admit the 4.2 Mpx strip
+import sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import time
 

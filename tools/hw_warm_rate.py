@@ -38,3 +38,31 @@ print(f"warm stream device-side, 1080p i30: {dt*1e3:.3f} ms/pair "
 json.dump({"ms_per_pair": round(dt*1e3, 3), "fps": round(1/dt, 1)},
           open("/tmp/hw_warm_rate.json", "w"))
 print("DONE", flush=True)
+
+# -- round 5: the fused lax.scan warm chain (ONE dispatch per window) ---------
+from opticalflowhs_tpu.video import _warm_scan
+
+p1, p2 = frames[:-1], frames[1:]
+
+
+def run_scan(prev):
+    us, vs = _warm_scan(p1, p2, prev.u, prev.v, cfg, 1.0, False)
+    return Flow(us[-1], vs[-1])
+
+
+out2 = run_scan(out)
+float(jnp.sum(out2.u))
+t0 = time.perf_counter()
+prev = out2
+for _ in range(n):
+    prev = run_scan(prev)
+jax.block_until_ready(prev)
+dt2 = (time.perf_counter() - t0) / (n * 8)
+d = float(jnp.abs(prev.u - jnp.asarray(np.asarray(out.u))).max())
+print(f"warm stream FUSED scan, 1080p i30: {dt2*1e3:.3f} ms/pair "
+      f"({1/dt2:.0f} fps) — {dt/dt2:.2f}x the per-call path", flush=True)
+json.dump({"ms_per_pair_percall": round(dt*1e3, 3),
+           "ms_per_pair_scan": round(dt2*1e3, 3),
+           "fps_scan": round(1/dt2, 1)},
+          open("/tmp/hw_warm_rate.json", "w"))
+print("DONE2", flush=True)
