@@ -335,10 +335,20 @@ def warp_bilinear_checked(
         jnp.abs(dy_t - byt[:, :, None, None]).max(),
         jnp.abs(dx_t - bxt[:, :, None, None]).max(),
     )
+    # Three-way exactness ladder: R=2/4 (the auto pair), then R=8 (289
+    # select combos, ~3.5x the R=4 loop but still ~8x cheaper than the
+    # gather), then the gather. The extra rung matters because dev is a
+    # GLOBAL max: one outlier tile (e.g. a TV-L1 edge artifact) would
+    # otherwise push the whole frame onto the 88 ms gather — measured on
+    # the family-table workload (round 5).
     return jax.lax.cond(
         dev <= float(_WARP_R),
         lambda: warp_bilinear_tiled(img, u, v, 0),
-        lambda: warp_bilinear(img, u, v),
+        lambda: jax.lax.cond(
+            dev <= 8.0,
+            lambda: warp_bilinear_tiled(img, u, v, 8),
+            lambda: warp_bilinear(img, u, v),
+        ),
     )
 
 
