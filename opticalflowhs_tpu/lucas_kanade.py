@@ -22,6 +22,7 @@ TPU-idiomatic design (no new Pallas kernels needed):
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional, Sequence
 
@@ -60,14 +61,21 @@ def lk_refine(
     u: jnp.ndarray,
     v: jnp.ndarray,
     cfg: LKConfig,
+    warp_radius: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One warp-and-solve Newton refinement of (u, v) at the current level.
 
     Warps frame 2 by the current flow, then solves the per-pixel windowed
     normal equations  G d = -b  with  G = sum_w [Ex^2, ExEy; ExEy, Ey^2]
     (+ eps on the diagonal) and b = sum_w [Ex*Et, Ey*Et].
+
+    `warp_radius` is the tiled warp's select half-width (0 = on-device
+    auto, PyramidConfig.warp_radius). LK does `iters` warps per LEVEL —
+    one per Newton refinement, 3x the HS pyramid's warp count — so the
+    round-5 auto radius (R=2 select when the per-tile deviation proves it
+    exact) pays here more than anywhere else.
     """
-    i2w = warp(i2, u, v, cfg.warp)
+    i2w = warp(i2, u, v, cfg.warp, warp_radius)
     ex, ey, et = stencils.derivatives(i1, i2w, "central")
     g11 = box_sum(ex * ex, cfg.window) + cfg.eps
     g12 = box_sum(ex * ey, cfg.window)
@@ -86,9 +94,9 @@ def lk_refine(
     return u + du, v + dv
 
 
-def _lk_level(i1, i2, u, v, cfg: LKConfig, iters: int):
+def _lk_level(i1, i2, u, v, cfg: LKConfig, iters: int, warp_radius: int = 0):
     for _ in range(iters):  # unrolled: iters is small (2-5) and static
-        u, v = lk_refine(i1, i2, u, v, cfg)
+        u, v = lk_refine(i1, i2, u, v, cfg, warp_radius)
         if cfg.smooth:
             # Binomial flow smoothing between refinements. Measured
             # (128x192 band-limited 1px-shift pair): without it, per-pixel
@@ -122,7 +130,7 @@ def _lk_pyramid_body(
         else:
             flow = upsample_flow(flow, f1.shape[-2:])
             u, v = constrain(flow.u), constrain(flow.v)
-        u, v = _lk_level(f1, f2, u, v, cfg, iters[level])
+        u, v = _lk_level(f1, f2, u, v, cfg, iters[level], pyr.warp_radius)
         flow = Flow(constrain(u), constrain(v))
     return flow
 
@@ -163,6 +171,11 @@ def lk_solve(
 
 @partial(jax.jit, static_argnames=("cfg", "pyr"))
 def _lk_batched_impl(i1, i2, cfg: LKConfig, pyr: PyramidConfig) -> Flow:
+    if pyr.warp_radius == 0:
+        # vmap turns the auto radius's lax.cond into a select that executes
+        # BOTH select loops (pyramid.warp_bilinear_tiled docstring) — pin
+        # the exact-for-any-auto-case R=4 under a batch axis instead.
+        pyr = dataclasses.replace(pyr, warp_radius=4)
     return jax.vmap(lambda a, b: _lk_pyramid_body(a, b, cfg, pyr))(i1, i2)
 
 

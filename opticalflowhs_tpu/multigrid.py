@@ -95,10 +95,22 @@ def gs_general(u, v, gu, gv, lvl, n):
 
 def restrict(a):
     """Full-weighting restriction: [1,2,1]x[1,2,1]/16 then 2x subsample
-    (clamp edges — consistent with the Neumann boundary everywhere else)."""
+    (clamp edges — consistent with the Neumann boundary everywhere else).
+
+    Each separable pass subsamples its own axis immediately (exactly
+    pyramid.downsample2x's structure): bitwise identical to
+    filter-then-`[::2, ::2]` since the per-axis passes are independent, but
+    a single 2-D stride-2 slice relayouts its whole operand on TPU
+    (~6.3 ms on a 1080p array — tools/hw_stride_probe.py round 5) while
+    1-D strided slices are ~1 ms-class. Measured (tools/hw_lk_mg_round5.py,
+    1088x1920): fine-transfer leg 11.8 -> 1.66 ms, hierarchy build
+    8.0 -> 1.47 ms, multigrid c1 40.8 -> 5.18 ms and c2 58.3 -> 9.09 ms
+    (6.4x), EPE bit-identical — the family table's whole "dispatch-bound"
+    story was this one relayout."""
     t = stencils.shift_down_row(a) + 2.0 * a + stencils.shift_up_row(a)
+    t = t[..., ::2, :]
     s = stencils.shift_right_col(t) + 2.0 * t + stencils.shift_left_col(t)
-    return s[..., ::2, ::2] * (1.0 / 16.0)
+    return s[..., :, ::2] * (1.0 / 16.0)
 
 
 def prolong(a, h: int, w: int):

@@ -76,7 +76,8 @@ for it in (50, 100):
                    backend="pallas")
     record(f"sor_i{it}", lambda cfg=cfg: hs_solve(i1, i2, cfg), sweeps=it)
 
-# -- Multigrid (V(2,2) cycles; jnp/XLA by design) -----------------------------
+# -- Multigrid (V(2,2) cycles; jnp/XLA — fine-sweep-bound after the round-5
+# restrict stride fix, tools/hw_lk_mg_round5.py) ------------------------------
 for cyc in (2, 5):
     cfg = HSConfig(alpha=ALPHA, iters=cyc, solver="multigrid",
                    backend="pallas")
