@@ -137,3 +137,18 @@ def test_runconfig_lk_section():
     assert rc.lk.window == 11 and rc.lk.iters == 2 and rc.method == "lk"
     with pytest.raises(ValueError, match="method"):
         load_config(overrides={"method": "farneback"})
+
+
+def test_warp_radius_auto_matches_pinned():
+    """The round-5 auto warp radius (PyramidConfig.warp_radius=0) must be
+    value-identical to the old hard-coded R=4 behavior: the on-device cond
+    picks the R=2 select loop only when the per-tile deviation proves both
+    loops exact (pyramid.warp_bilinear_tiled). Smooth translation flows sit
+    squarely in the auto regime, so this locks the fast path's values."""
+    i1, i2, _ = translation_pair(64, 96, 0.7, -0.4, key=5)
+    a, b = jnp.asarray(i1), jnp.asarray(i2)
+    cfg = LKConfig(iters=2)
+    f_auto = lk_solve(a, b, cfg, PyramidConfig(levels=2, warp_radius=0))
+    f_r4 = lk_solve(a, b, cfg, PyramidConfig(levels=2, warp_radius=4))
+    np.testing.assert_allclose(np.asarray(f_auto.u), np.asarray(f_r4.u), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_auto.v), np.asarray(f_r4.v), atol=1e-6)

@@ -199,3 +199,22 @@ def test_tiled_multigrid_guards():
     with pytest.raises(ValueError, match="GSPMD"):
         hs_solve_tiled(i[0], i[0], HSConfig(solver="multigrid"), mesh=mesh,
                        halo_impl="rdma")
+
+
+@pytest.mark.parametrize("shape", [(17, 23), (16, 24), (33, 48)])
+def test_restrict_matches_2d_stride_reference(shape):
+    """The round-5 restrict subsamples each axis inside its own separable
+    filter pass (a 2-D stride-2 slice relayouts its whole operand on TPU —
+    docs/PERFORMANCE.md round-5 stride tables); this pins it BITWISE to
+    the straightforward filter-everything-then-[::2, ::2] formulation at
+    even and odd sizes."""
+    from opticalflowhs_tpu.ops import stencils
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+    t = stencils.shift_down_row(a) + 2.0 * a + stencils.shift_up_row(a)
+    s = stencils.shift_right_col(t) + 2.0 * t + stencils.shift_left_col(t)
+    ref = s[::2, ::2] * (1.0 / 16.0)
+    out = mg.restrict(a)
+    assert out.shape == ref.shape
+    assert float(jnp.abs(out - ref).max()) == 0.0
